@@ -1,0 +1,8 @@
+from .torch_import import (
+    load_pth,
+    import_ecamp_pretrain,
+    import_vit_classifier,
+    import_seg_vit,
+    import_detector,
+)
+from .orbax_io import save_checkpoint, restore_checkpoint, latest_step

@@ -1,0 +1,260 @@
+"""Multimodal BERT text branch.
+
+Re-implements, with HF-BERT numerics, the reference's 6-layer multimodal
+masked-LM (module/bert_modeling.py:10-227, bert_encoder.py:12-22) and the
+entity-context fusion layer (module/context_fusion.py:7-72):
+
+  embeddings -> ECAMPFusionLayer(text self-attn -> text->image cross-attn
+  + gap-token injection -> FFN) -> 6x BertLayer -> MLM head.
+
+Numerics that matter for checkpoint parity:
+  * LayerNorm eps 1e-12 (bert_config.py:76)
+  * BertSelfOutput/BertOutput residual-then-LN ordering
+  * the cross-attention is a bare BertSelfAttention (no output dense) whose
+    context output gets gap_mlp(gap_token) added BEFORE out_layer
+    (context_fusion.py:45-56)
+  * the MLM loss is a per-token weighted CE over ALL 256 positions with no
+    -100 masking (bert_modeling.py:211-217) — implemented in ops.losses.
+
+Attention runs through the shared Pallas/XLA dispatch (kernels.attention).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.config import BertConfig
+from ..kernels import dot_product_attention
+from .layers import Dense, LayerNorm
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def extend_attention_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, L) 1/0 mask -> additive (B, 1, 1, L) bias (HF
+    get_extended_attention_mask semantics)."""
+    return (1.0 - mask.astype(jnp.float32))[:, None, None, :] * _NEG_INF
+
+
+class BertSelfAttention(nn.Module):
+    """HF BertSelfAttention: separate q/k/v, context output (no out dense).
+
+    With kv_states it acts as cross-attention, exactly as the fusion layer
+    uses it (context_fusion.py:15,45-53).
+    """
+
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, bias=None, kv_states=None,
+                 deterministic: bool = True, return_probs: bool = False):
+        c = self.cfg
+        h = c.num_attention_heads
+        d = c.hidden_size
+        hd = d // h
+        kv = hidden if kv_states is None else kv_states
+        b, nq = hidden.shape[0], hidden.shape[1]
+        nk = kv.shape[1]
+
+        def split(x, n):
+            return jnp.transpose(x.reshape(b, n, h, hd), (0, 2, 1, 3))
+
+        q = split(Dense(d, dtype=self.dtype, name="query")(hidden), nq)
+        k = split(Dense(d, dtype=self.dtype, name="key")(kv), nk)
+        v = split(Dense(d, dtype=self.dtype, name="value")(kv), nk)
+        out = dot_product_attention(q, k, v, bias=bias, scale=hd ** -0.5,
+                                    return_probs=return_probs)
+        probs = None
+        if return_probs:
+            out, probs = out
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, nq, d)
+        out = nn.Dropout(c.attention_probs_dropout_prob)(
+            out, deterministic=deterministic)
+        if return_probs:
+            return out, probs
+        return out
+
+
+class BertSelfOutput(nn.Module):
+    """dense -> dropout -> LN(x + residual)."""
+
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, residual, deterministic: bool = True):
+        c = self.cfg
+        hidden = Dense(c.hidden_size, dtype=self.dtype, name="dense")(hidden)
+        hidden = nn.Dropout(c.hidden_dropout_prob)(hidden, deterministic=deterministic)
+        return LayerNorm(c.layer_norm_eps, dtype=self.dtype,
+                         name="LayerNorm")(hidden + residual)
+
+
+class BertAttention(nn.Module):
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, bias=None, deterministic: bool = True):
+        ctx = BertSelfAttention(self.cfg, dtype=self.dtype, name="self")(
+            hidden, bias=bias, deterministic=deterministic)
+        return BertSelfOutput(self.cfg, dtype=self.dtype, name="output")(
+            ctx, hidden, deterministic=deterministic)
+
+
+class BertIntermediate(nn.Module):
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Dense(self.cfg.intermediate_size, dtype=self.dtype, name="dense")(x)
+        return jax.nn.gelu(x, approximate=False)
+
+
+class BertOutput(nn.Module):
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, residual, deterministic: bool = True):
+        c = self.cfg
+        hidden = Dense(c.hidden_size, dtype=self.dtype, name="dense")(hidden)
+        hidden = nn.Dropout(c.hidden_dropout_prob)(hidden, deterministic=deterministic)
+        return LayerNorm(c.layer_norm_eps, dtype=self.dtype,
+                         name="LayerNorm")(hidden + residual)
+
+
+class BertLayer(nn.Module):
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, bias=None, deterministic: bool = True):
+        attn_out = BertAttention(self.cfg, dtype=self.dtype, name="attention")(
+            hidden, bias=bias, deterministic=deterministic)
+        inter = BertIntermediate(self.cfg, dtype=self.dtype,
+                                 name="intermediate")(attn_out)
+        return BertOutput(self.cfg, dtype=self.dtype, name="output")(
+            inter, attn_out, deterministic=deterministic)
+
+
+class FusionLayer(nn.Module):
+    """ECAMPFusionLayer (context_fusion.py:7-72)."""
+
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, latent, gap_token, text_bias=None,
+                 deterministic: bool = True, return_cross_probs: bool = False):
+        attention_output = BertAttention(self.cfg, dtype=self.dtype,
+                                         name="attention")(
+            hidden, bias=text_bias, deterministic=deterministic)
+        cross = BertSelfAttention(self.cfg, dtype=self.dtype,
+                                  name="cross_self_attention")
+        # image mask is all-ones in the reference (bert_modeling.py:79) ->
+        # zero additive bias; omit it.
+        cross_out = cross(attention_output, bias=None, kv_states=latent,
+                          deterministic=deterministic,
+                          return_probs=return_cross_probs)
+        cross_probs = None
+        if return_cross_probs:
+            cross_out, cross_probs = cross_out
+        gap = Dense(self.cfg.hidden_size, dtype=self.dtype,
+                    name="gap_mlp")(gap_token)
+        cross_out = cross_out + gap
+        fused = BertSelfOutput(self.cfg, dtype=self.dtype, name="out_layer")(
+            cross_out, attention_output, deterministic=deterministic)
+        inter = BertIntermediate(self.cfg, dtype=self.dtype,
+                                 name="intermediate")(fused)
+        out = BertOutput(self.cfg, dtype=self.dtype, name="output")(
+            inter, fused, deterministic=deterministic)
+        if return_cross_probs:
+            return out, cross_probs
+        return out
+
+
+class BertEmbeddings(nn.Module):
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, deterministic: bool = True):
+        c = self.cfg
+        b, L = input_ids.shape
+        emb_init = nn.initializers.normal(stddev=c.initializer_range)
+        word = nn.Embed(c.vocab_size, c.hidden_size, embedding_init=emb_init,
+                        param_dtype=jnp.float32, name="word_embeddings")(input_ids)
+        pos_ids = jnp.arange(L)[None, :]
+        pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
+                       embedding_init=emb_init, param_dtype=jnp.float32,
+                       name="position_embeddings")(pos_ids)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        tok = nn.Embed(c.type_vocab_size, c.hidden_size, embedding_init=emb_init,
+                       param_dtype=jnp.float32,
+                       name="token_type_embeddings")(token_type_ids)
+        x = (word + pos + tok).astype(self.dtype)
+        x = LayerNorm(c.layer_norm_eps, dtype=self.dtype, name="LayerNorm")(x)
+        return nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
+
+
+class MLMHead(nn.Module):
+    """HF BertOnlyMLMHead: transform (dense+gelu+LN) + decoder to vocab."""
+
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        x = Dense(c.hidden_size, dtype=self.dtype, name="transform_dense")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = LayerNorm(c.layer_norm_eps, dtype=self.dtype,
+                      name="transform_LayerNorm")(x)
+        # vocab projection in fp32: the 30k-way softmax dominates MLM loss
+        # numerics
+        return Dense(c.vocab_size, dtype=jnp.float32,
+                     name="decoder")(x.astype(jnp.float32))
+
+
+class MultimodalBert(nn.Module):
+    """Full text branch: embeddings -> fusion -> encoder -> MLM logits.
+
+    Equivalent of MultimodalBertMaskedLM (bert_modeling.py:160-227); the
+    weighted-CE loss lives in ops.losses.weighted_mlm_loss.
+    """
+
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, latent, gap_token, input_ids, attention_mask=None,
+                 token_type_ids=None, deterministic: bool = True,
+                 return_cross_probs: bool = False):
+        c = self.cfg
+        text_bias = None
+        if attention_mask is not None:
+            text_bias = extend_attention_mask(attention_mask)
+        x = BertEmbeddings(c, dtype=self.dtype, name="embeddings")(
+            input_ids, token_type_ids, deterministic=deterministic)
+        fused = FusionLayer(c, dtype=self.dtype, name="context_fusion_layer")(
+            x, latent, gap_token, text_bias=text_bias,
+            deterministic=deterministic, return_cross_probs=return_cross_probs)
+        cross_probs = None
+        if return_cross_probs:
+            fused, cross_probs = fused
+        h = fused
+        for i in range(c.num_hidden_layers):
+            h = BertLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+                h, bias=text_bias, deterministic=deterministic)
+        logits = MLMHead(c, dtype=self.dtype, name="cls")(h)
+        if return_cross_probs:
+            return logits, cross_probs
+        return logits

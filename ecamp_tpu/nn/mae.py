@@ -1,0 +1,173 @@
+"""ECAMP pre-training model: MAE ViT-B/16 + SR branch + multimodal BERT.
+
+TPU-native re-design of the reference ECAMP module
+(Pre-training/module/model_ecamp.py:49-333):
+  * encoder: patchify 224 -> +fixed sincos pos -> 75% token-drop -> cls ->
+    12 blocks -> LN (model_ecamp.py:218-237)
+  * decoder: 512-d, 4 blocks, 16 heads; mask-token re-insertion/unshuffle;
+    pixel head (:240-264)
+  * SR head: bilinear x2 + 2 conv3x3 + residual (:28-46)
+  * losses: MIM + SR-window MSE (:276-300, quirk-faithful), entity-weighted
+    MLM through the fusion BERT (:267-273 + bert branch)
+
+Everything here is batched/static-shape: the masking gather, mask->pixel
+expansion and SR window are vectorized ops (ops.masking), the 448->224
+bicubic resize runs on device at the head of the jitted step (:318 parity).
+
+Fixed sincos position embeddings are trace-time constants rather than
+no-grad parameters — equivalent numerics, no optimizer masking needed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import BertConfig, MAEDecoderConfig, ViTConfig
+from ..ops.image_ops import resize_bicubic, resize_bilinear
+from ..ops.losses import masked_pixel_losses, weighted_mlm_loss
+from ..ops.masking import mask_to_pixel, random_masking, unpatchify
+from .bert import MultimodalBert
+from .layers import Block, Dense, LayerNorm, PatchEmbed
+from .pos_embed import get_2d_sincos_pos_embed
+
+
+class SuperResolutionHead(nn.Module):
+    """InterpolateConvSuperResolution (model_ecamp.py:28-46)."""
+
+    scale: int = 2
+    channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        x = resize_bilinear(x, (h * self.scale, w * self.scale))
+        residual = x
+        x = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(x)
+        return jax.nn.relu(x + residual)
+
+
+class ECAMP(nn.Module):
+    vit: ViTConfig
+    decoder: MAEDecoderConfig
+    bert: BertConfig
+    sr_window: int = 12
+    sr_scale: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    def _pos_embed(self, dim: int) -> jnp.ndarray:
+        grid = self.vit.grid_size
+        return jnp.asarray(
+            get_2d_sincos_pos_embed(dim, grid, cls_token=True))[None]
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], mask_ratio: float = 0.75,
+                 deterministic: bool = False,
+                 return_cross_probs: bool = False):
+        c = self.vit
+        big_imgs = batch["image"].astype(self.dtype)  # (N, 448, 448, 3)
+        imgs = resize_bicubic(big_imgs, (c.img_size, c.img_size))
+
+        latent, mask, ids_restore, ids_keep = self.image_encoder(
+            imgs, mask_ratio, deterministic)
+
+        outputs = {}
+        if mask_ratio > 0:
+            pred = self.image_decoder(latent, ids_restore, deterministic)
+            pred_img = unpatchify(pred.astype(jnp.float32), c.patch_size)
+            super_pred = SuperResolutionHead(self.sr_scale, c.in_chans,
+                                             dtype=self.dtype, name="super_res")(
+                pred_img.astype(self.dtype))
+            pixel_mask, super_mask = mask_to_pixel(
+                mask, batch["column"], batch["row"], c.patch_size,
+                self.sr_scale, self.sr_window)
+            mim_loss, res_loss = masked_pixel_losses(
+                pred_img, imgs, super_pred.astype(jnp.float32), big_imgs,
+                pixel_mask, super_mask)
+            outputs.update(mim_loss=mim_loss, res_loss=res_loss)
+
+        # report decoder bridge (model_ecamp.py:267-273)
+        lat = Dense(self.bert.hidden_size, dtype=self.dtype,
+                    name="bert_mlp")(latent)
+        gap_token = lat[:, 1:, :].mean(axis=1, keepdims=True)
+        patch_latent = lat[:, 1:, :]
+        bert_out = MultimodalBert(self.bert, dtype=self.dtype,
+                                  name="bert")(
+            patch_latent, gap_token, batch["ids"],
+            attention_mask=batch.get("attention_mask"),
+            token_type_ids=batch.get("type_ids"),
+            deterministic=deterministic,
+            return_cross_probs=return_cross_probs)
+        if return_cross_probs:
+            logits, cross_probs = bert_out
+            outputs["cross_attention"] = cross_probs
+        else:
+            logits = bert_out
+        outputs["mlm_logits"] = logits
+        if "labels" in batch and "weights" in batch:
+            outputs["mlm_loss"] = weighted_mlm_loss(
+                logits, batch["labels"], batch["weights"])
+        return outputs
+
+    def image_encoder(self, x, mask_ratio: float, deterministic: bool):
+        """model_ecamp.py:218-237. Returns (tokens, mask, ids_restore,
+        ids_keep)."""
+        c = self.vit
+        b = x.shape[0]
+        x = PatchEmbed(c.patch_size, c.embed_dim, dtype=self.dtype,
+                       name="patch_embed")(x)
+        pos = self._pos_embed(c.embed_dim).astype(self.dtype)
+        x = x + pos[:, 1:, :]
+        L = x.shape[1]
+        if mask_ratio > 0:
+            rng = self.make_rng("masking")
+            x, mask, ids_restore, ids_keep = random_masking(rng, x, mask_ratio)
+        else:
+            mask = jnp.zeros((b, L), dtype=x.dtype)
+            ids_restore = jnp.broadcast_to(jnp.arange(L)[None], (b, L))
+            ids_keep = ids_restore
+        cls_token = self.param("cls_token", nn.initializers.normal(0.02),
+                               (1, 1, c.embed_dim), jnp.float32)
+        cls = cls_token.astype(self.dtype) + pos[:, :1, :]
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, c.embed_dim)), x],
+                            axis=1)
+        for i in range(c.depth):
+            x = Block(c.num_heads, c.mlp_ratio, c.qkv_bias,
+                      norm_eps=c.norm_eps, dtype=self.dtype,
+                      name=f"blocks_{i}")(x, deterministic=deterministic)
+        x = LayerNorm(c.norm_eps, dtype=self.dtype, name="norm")(x)
+        return x, mask, ids_restore, ids_keep
+
+    def image_decoder(self, x, ids_restore, deterministic: bool):
+        """model_ecamp.py:240-264."""
+        dc = self.decoder
+        b, n_kept, _ = x.shape
+        L = ids_restore.shape[1]
+        x = Dense(dc.embed_dim, dtype=self.dtype, name="decoder_embed")(x)
+        mask_token = self.param("mask_token", nn.initializers.normal(0.02),
+                                (1, 1, dc.embed_dim), jnp.float32)
+        n_masked = L + 1 - n_kept
+        mask_tokens = jnp.broadcast_to(mask_token.astype(self.dtype),
+                                       (b, n_masked, dc.embed_dim))
+        x_ = jnp.concatenate([x[:, 1:, :], mask_tokens], axis=1)
+        x_ = jnp.take_along_axis(x_, ids_restore[:, :, None], axis=1)
+        x = jnp.concatenate([x[:, :1, :], x_], axis=1)
+        x = x + self._pos_embed(dc.embed_dim).astype(self.dtype)
+        for i in range(dc.depth):
+            x = Block(dc.num_heads, dc.mlp_ratio, True, norm_eps=dc.norm_eps,
+                      dtype=self.dtype, name=f"decoder_blocks_{i}")(
+                x, deterministic=deterministic)
+        x = LayerNorm(dc.norm_eps, dtype=self.dtype, name="decoder_norm")(x)
+        x = Dense(self.vit.patch_size ** 2 * self.vit.in_chans,
+                  dtype=jnp.float32, name="decoder_pred")(
+                      x.astype(jnp.float32))
+        return x[:, 1:, :]

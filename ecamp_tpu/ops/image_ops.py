@@ -1,0 +1,74 @@
+"""On-device image ops (NHWC).
+
+The reference resizes 448->224 bicubic INSIDE the model forward on device
+(model_ecamp.py:318, torchvision Resize without antialias); we keep the
+same on-device placement (it rides the input transfer and fuses into the
+step) and match torch's non-antialiased kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def resize_bicubic(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """NHWC bicubic resize, antialias off (torchvision tensor-mode default)."""
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, size[0], size[1], c), method="bicubic",
+                            antialias=False)
+
+
+def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int],
+                    antialias: bool = False) -> jnp.ndarray:
+    """NHWC bilinear resize; align_corners=False semantics (matches
+    F.interpolate(..., mode='bilinear', align_corners=False) used by the SR
+    head, model_ecamp.py:38)."""
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, size[0], size[1], c), method="bilinear",
+                            antialias=antialias)
+
+
+def upsample_align_corners(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Bilinear upsample with align_corners=True (seg decoder nn.Upsample,
+    Segmentation/models_vit.py:77; det neck, detector_backbone_vit.py:165).
+
+    jax.image.resize has no align_corners mode, so build it from
+    gather+lerp on the exact torch grid: src = dst * (in-1)/(out-1).
+    """
+    n, h, w, c = x.shape
+    oh, ow = h * scale, w * scale
+
+    def axis_weights(in_size, out_size):
+        if out_size == 1 or in_size == 1:
+            lo = jnp.zeros((out_size,), jnp.int32)
+            return lo, lo, jnp.zeros((out_size,), jnp.float32)
+        src = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
+        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
+        hi = jnp.clip(lo + 1, 0, in_size - 1)
+        frac = src - lo.astype(jnp.float32)
+        return lo, hi, frac
+
+    ylo, yhi, yf = axis_weights(h, oh)
+    xlo, xhi, xf = axis_weights(w, ow)
+    xf32 = x.astype(jnp.float32)
+    top = xf32[:, ylo][:, :, xlo] * (1 - xf[None, None, :, None]) + \
+        xf32[:, ylo][:, :, xhi] * xf[None, None, :, None]
+    bot = xf32[:, yhi][:, :, xlo] * (1 - xf[None, None, :, None]) + \
+        xf32[:, yhi][:, :, xhi] * xf[None, None, :, None]
+    out = top * (1 - yf[None, :, None, None]) + bot * yf[None, :, None, None]
+    return out.astype(x.dtype)
+
+
+def upsample_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Nearest-neighbor upsample (YOLO head, detector_model.py:30-31)."""
+    x = jnp.repeat(x, scale, axis=1)
+    return jnp.repeat(x, scale, axis=2)
+
+
+def normalize_image(x: jnp.ndarray, mean: float, std: float) -> jnp.ndarray:
+    """Per-channel-identical normalize (grayscale-replicated inputs,
+    pretrain_datasets.py:52)."""
+    return (x - mean) / std
