@@ -1,0 +1,135 @@
+"""Detection fine-tune task (RSNA pneumonia, YOLOv3 on ViT).
+
+Reference: Detection/train.py — 3-scale YOLOLoss sum (:445-471), frozen
+encoder (:169-174), eval = decode + NMS(conf/nms 0.5) + mAP@[.40:.05:.75]
+(:214-250). Loss + target assignment run on device (ops.yolo);
+NMS/mAP host-side (tiny N).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import config as cfglib
+from ..core.dtypes import policy
+from ..core.mesh import make_mesh, replicated_sharding
+from ..nn.det import DetectionModel, YOLO_ANCHORS
+from ..ops.boxes import average_precision, decode_yolo, nms
+from ..ops.yolo import yolo_loss
+from .optim import make_optimizer, make_schedule
+from .state import TrainState
+
+
+def _det_freeze_mask(params, freeze_encoder: bool):
+    """True = trainable; freezes backbone.encoder.trunk
+    (Detection/train.py:169-174)."""
+    if not freeze_encoder:
+        return None
+
+    def fn(path, _):
+        keys = [getattr(k, "key", "") for k in path]
+        return not (len(keys) >= 3 and keys[0] == "backbone"
+                    and keys[1] == "encoder" and keys[2] == "trunk")
+
+    return jax.tree_util.tree_map_with_path(fn, params)
+
+
+class DetectionTask:
+    def __init__(self, cfg: cfglib.DetectionConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        pol = policy(cfg.bf16)
+        self.model = DetectionModel(cfg.vit, num_classes=cfg.num_classes,
+                                    expansion=cfg.expansion,
+                                    dtype=pol.compute_dtype)
+        self.schedule = make_schedule(cfg.optimizer)
+        self._train_step = None
+        self._eval_step = None
+
+    def init_state(self, rng: jax.Array, pretrained: str = "",
+                   from_pretrain: bool = True) -> TrainState:
+        c = self.cfg
+        x = jnp.zeros((2, c.img_size, c.img_size, 3))
+        variables = self.model.init(rng, x, train=False)
+        if pretrained:
+            from ..ckpt import import_detector
+
+            variables, _, _ = import_detector(variables, pretrained,
+                                              from_pretrain=from_pretrain)
+        mask = _det_freeze_mask(variables["params"], c.freeze_encoder)
+        self.tx = make_optimizer(c.optimizer, freeze_mask=mask)
+        state = TrainState.create(variables["params"], self.tx,
+                                  batch_stats=variables.get("batch_stats"))
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def _loss(self, params, batch_stats, images, targets):
+        outs, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=True, mutable=["batch_stats"])
+        total = 0.0
+        parts = {}
+        for i, logits in enumerate(outs):
+            li, aux = yolo_loss(logits, targets, YOLO_ANCHORS[i],
+                                self.cfg.img_size, self.cfg.num_classes)
+            total = total + li
+            parts[f"scale{i}"] = li
+        return total, (mutated["batch_stats"], parts)
+
+    def make_train_step(self):
+        def step_fn(state: TrainState, images, targets):
+            (loss, (new_stats, parts)), grads = jax.value_and_grad(
+                self._loss, has_aux=True)(state.params, state.batch_stats,
+                                          images, targets)
+            new_state = state.replace(tx=self.tx).apply_gradients(
+                grads, batch_stats=new_stats)
+            metrics = dict(parts, loss=loss, lr=self.schedule(state.step))
+            return new_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def train_step(self, state, images, targets):
+        if self._train_step is None:
+            self._train_step = self.make_train_step()
+        return self._train_step(state, images, targets)
+
+    def make_eval_step(self):
+        def eval_fn(params, batch_stats, images):
+            outs = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False)
+            decoded = [decode_yolo(o, YOLO_ANCHORS[i], self.cfg.img_size,
+                                   self.cfg.num_classes)
+                       for i, o in enumerate(outs)]
+            return jnp.concatenate(decoded, axis=1)
+
+        return jax.jit(eval_fn)
+
+    def eval_step(self, state, images) -> np.ndarray:
+        if self._eval_step is None:
+            self._eval_step = self.make_eval_step()
+        return np.asarray(self._eval_step(state.params, state.batch_stats,
+                                          images))
+
+    # -- host-side eval ---------------------------------------------------
+
+    def detections(self, predictions: np.ndarray) -> List[Optional[np.ndarray]]:
+        return nms(predictions, self.cfg.num_classes,
+                   conf_thres=self.cfg.conf_threshold,
+                   nms_thres=self.cfg.nms_threshold)
+
+    def compute_map(self, all_dets: List[Optional[np.ndarray]],
+                    all_gt_xyxy: List[np.ndarray]) -> float:
+        pred_boxes, pred_scores = [], []
+        for d in all_dets:
+            if d is None or len(d) == 0:
+                pred_boxes.append(np.zeros((0, 4)))
+                pred_scores.append(np.zeros((0,)))
+            else:
+                pred_boxes.append(d[:, :4])
+                pred_scores.append(d[:, 4])
+        return average_precision(pred_boxes, pred_scores, all_gt_xyxy,
+                                 self.cfg.map_iou_thresholds)

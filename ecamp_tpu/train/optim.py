@@ -1,0 +1,126 @@
+"""Optimizers + LR schedules (optax).
+
+Replaces: AdamW β=(0.9,0.95) with timm add_weight_decay param grouping
+(main_pretrain.py:253-254), SGD momentum 0.9 (Classification/train.py:
+377-384), per-iteration epoch-cosine warmup (util/lr_sched.py:9-21) and
+the step-based Warmup{Cosine,Linear}Schedule (utils/scheduler.py:8-41),
+grad accumulation (main_pretrain.py:137-153) via optax.MultiSteps.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import OptimizerConfig
+
+
+def _decay_mask(params) -> bool:
+    """timm optim_factory.add_weight_decay: no decay for 1-d params
+    (biases, norm scales) — True = apply weight decay."""
+    return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+
+
+def epoch_cosine_schedule(base_lr: float, min_lr: float, warmup_epochs: float,
+                          max_epoch: float, steps_per_epoch: int
+                          ) -> optax.Schedule:
+    """Per-iteration warmup + half-cosine over fractional epochs
+    (util/lr_sched.py:9-21, driven per-iter at main_pretrain.py:138)."""
+
+    def fn(step):
+        epoch = step / max(steps_per_epoch, 1)
+        warm = base_lr * epoch / max(warmup_epochs, 1e-8)
+        progress = (epoch - warmup_epochs) / max(max_epoch - warmup_epochs, 1e-8)
+        cos = min_lr + (base_lr - min_lr) * 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+        return jnp.where(epoch < warmup_epochs, warm, cos)
+
+    return fn
+
+
+def warmup_cosine_step_schedule(base_lr: float, warmup_steps: int,
+                                total_steps: int, cycles: float = 0.5
+                                ) -> optax.Schedule:
+    """WarmupCosineSchedule (utils/scheduler.py:24-41)."""
+
+    def fn(step):
+        step = step.astype(jnp.float32) if hasattr(step, "astype") else float(step)
+        warm = step / max(1.0, warmup_steps)
+        progress = (step - warmup_steps) / max(1.0, total_steps - warmup_steps)
+        cos = jnp.maximum(
+            0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * cycles * 2.0 * progress)))
+        return base_lr * jnp.where(step < warmup_steps, warm, cos)
+
+    return fn
+
+
+def warmup_linear_step_schedule(base_lr: float, warmup_steps: int,
+                                total_steps: int) -> optax.Schedule:
+    """WarmupLinearSchedule (utils/scheduler.py:8-21)."""
+
+    def fn(step):
+        step = step.astype(jnp.float32) if hasattr(step, "astype") else float(step)
+        warm = step / max(1.0, warmup_steps)
+        lin = jnp.maximum(0.0, (total_steps - step) /
+                          max(1.0, total_steps - warmup_steps))
+        return base_lr * jnp.where(step < warmup_steps, warm, lin)
+
+    return fn
+
+
+def make_schedule(cfg: OptimizerConfig, steps_per_epoch: int = 1,
+                  max_epoch: Optional[float] = None) -> optax.Schedule:
+    if cfg.schedule == "warmup_cosine_epoch":
+        return epoch_cosine_schedule(cfg.lr, cfg.min_lr, cfg.warmup_epochs,
+                                     max_epoch if max_epoch is not None else 1.0,
+                                     steps_per_epoch)
+    if cfg.schedule == "warmup_cosine_step":
+        return warmup_cosine_step_schedule(cfg.lr, cfg.warmup_steps,
+                                           cfg.total_steps)
+    if cfg.schedule == "warmup_linear_step":
+        return warmup_linear_step_schedule(cfg.lr, cfg.warmup_steps,
+                                           cfg.total_steps)
+    if cfg.schedule == "constant":
+        return lambda step: cfg.lr
+    raise ValueError(f"unknown schedule {cfg.schedule}")
+
+
+def make_optimizer(cfg: OptimizerConfig, params=None,
+                   steps_per_epoch: int = 1,
+                   max_epoch: Optional[float] = None,
+                   freeze_mask=None) -> optax.GradientTransformation:
+    """Build the optax chain. freeze_mask: pytree of bool, True = trainable
+    (linear-probe / frozen-encoder modes; reference freezes via
+    requires_grad_(False): Classification/train.py:156-159,
+    Segmentation/train.py:128-133)."""
+    sched = make_schedule(cfg, steps_per_epoch, max_epoch)
+    if cfg.name == "adamw":
+        tx = optax.adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1],
+                         weight_decay=cfg.weight_decay,
+                         mask=_decay_mask if cfg.weight_decay > 0 else None)
+    elif cfg.name == "sgd":
+        chain = [optax.sgd(sched, momentum=cfg.momentum)]
+        if cfg.weight_decay > 0:
+            chain.insert(0, optax.add_decayed_weights(cfg.weight_decay,
+                                                      mask=_decay_mask))
+        tx = optax.chain(*chain)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.name}")
+
+    pre = []
+    if cfg.grad_clip:
+        pre.append(optax.clip_by_global_norm(cfg.grad_clip))
+    tx = optax.chain(*pre, tx)
+
+    if freeze_mask is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            jax.tree_util.tree_map(
+                lambda t: "train" if t else "freeze", freeze_mask))
+
+    if cfg.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    return tx

@@ -1,0 +1,101 @@
+"""Pre-training task: jitted 3-loss train step, data-parallel over the mesh.
+
+Replaces the reference hot loop (main_pretrain.py:116-180 + DDP): one jit
+compiles resize→encoder→decoder→SR→BERT→losses→grads→AdamW update; the
+batch arrives sharded over the 'data' mesh axis and XLA emits the gradient
+all-reduce over ICI (no DDP wrapper, no GradScaler — bf16 params policy).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import config as cfglib
+from ..core.dtypes import policy
+from ..core.mesh import data_sharding, make_mesh, replicated_sharding
+from ..nn.mae import ECAMP
+from .optim import make_optimizer, make_schedule
+from .state import TrainState
+
+
+class PretrainTask:
+    def __init__(self, cfg: cfglib.PretrainConfig, mesh=None,
+                 steps_per_epoch: int = 1):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        self.steps_per_epoch = steps_per_epoch
+        pol = policy(cfg.bf16)
+        self.model = ECAMP(vit=cfg.vit, decoder=cfg.decoder, bert=cfg.bert,
+                           sr_window=cfg.sr_window, sr_scale=cfg.sr_scale,
+                           dtype=pol.compute_dtype)
+        self.schedule = make_schedule(cfg.optimizer, steps_per_epoch,
+                                      max_epoch=cfg.max_epoch)
+        self.tx = make_optimizer(cfg.optimizer, steps_per_epoch=steps_per_epoch,
+                                 max_epoch=cfg.max_epoch)
+        self._train_step = None
+
+    # -- state ---------------------------------------------------------
+
+    def fake_batch(self, batch_size: int):
+        c = self.cfg
+        L = c.max_caption_length
+        s = c.data.img_size
+        return {
+            "image": jnp.zeros((batch_size, s, s, 3), jnp.float32),
+            "ids": jnp.zeros((batch_size, L), jnp.int32),
+            "labels": jnp.zeros((batch_size, L), jnp.int32),
+            "attention_mask": jnp.ones((batch_size, L), jnp.int32),
+            "type_ids": jnp.zeros((batch_size, L), jnp.int32),
+            "weights": jnp.ones((batch_size, L), jnp.float32),
+            "column": jnp.ones((batch_size,), jnp.int32),
+            "row": jnp.ones((batch_size,), jnp.int32),
+        }
+
+    def init_state(self, rng: jax.Array, pretrained: str = "") -> TrainState:
+        batch = self.fake_batch(2)
+        variables = self.model.init(
+            {"params": rng, "masking": jax.random.fold_in(rng, 1)},
+            batch, mask_ratio=self.cfg.mask_ratio, deterministic=True)
+        if pretrained:
+            from ..ckpt import import_ecamp_pretrain
+
+            variables, loaded, _ = import_ecamp_pretrain(variables, pretrained)
+        state = TrainState.create(variables["params"], self.tx)
+        repl = replicated_sharding(self.mesh)
+        return jax.device_put(state, repl)
+
+    # -- step ----------------------------------------------------------
+
+    def _loss_fn(self, params, batch, rng) -> Tuple[jnp.ndarray, Dict]:
+        out = self.model.apply(
+            {"params": params}, batch, mask_ratio=self.cfg.mask_ratio,
+            deterministic=False,
+            rngs={"masking": rng, "dropout": jax.random.fold_in(rng, 1)})
+        loss = out["mim_loss"] + out["res_loss"] + out["mlm_loss"]
+        return loss, {"mim_loss": out["mim_loss"], "res_loss": out["res_loss"],
+                      "mlm_loss": out["mlm_loss"]}
+
+    def make_train_step(self):
+        def step_fn(state: TrainState, batch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            (loss, aux), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True)(state.params, batch, rng)
+            new_state = state.replace(tx=self.tx).apply_gradients(grads)
+            aux = dict(aux, loss=loss, lr=self.schedule(state.step))
+            return new_state, aux
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def train_step(self, state, batch, rng):
+        if self._train_step is None:
+            self._train_step = self.make_train_step()
+        return self._train_step(state, batch, rng)
+
+    def shard_batch(self, batch):
+        from ..core.mesh import shard_batch
+
+        return shard_batch(self.mesh, batch)

@@ -1,0 +1,121 @@
+"""Segmentation fine-tune task (SIIM / RSNA single, RIGA dual decoder).
+
+Reference: Segmentation/train.py (AdamW + warmup-cosine, MixedLoss =
+10*focal - log(dice), encoder frozen except seg_head, decoder trainable
+:128-133; dice eval with empty-mask convention :191-213) and
+train_RIGA.py (disc/cup mean loss :243-276).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import config as cfglib
+from ..core.dtypes import policy
+from ..core.mesh import make_mesh, replicated_sharding
+from ..nn.seg import SegViT, SegViTDual
+from ..ops.losses import mixed_loss
+from .eval_metrics import dice_scores
+from .optim import make_optimizer, make_schedule
+from .state import TrainState
+
+
+def _seg_freeze_mask(params, freeze_encoder: bool):
+    """True = trainable. Freezes encoder.trunk.* but keeps seg_head and
+    decoder(s) trainable (Segmentation/train.py:128-133)."""
+    if not freeze_encoder:
+        return None
+
+    def fn(path, _):
+        keys = [getattr(k, "key", "") for k in path]
+        return not (len(keys) >= 2 and keys[0] == "encoder" and keys[1] == "trunk")
+
+    return jax.tree_util.tree_map_with_path(fn, params)
+
+
+class SegmentationTask:
+    def __init__(self, cfg: cfglib.SegmentationConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        pol = policy(cfg.bf16)
+        self.dual = cfg.task.upper() == "RIGA"
+        cls = SegViTDual if self.dual else SegViT
+        self.model = cls(cfg.vit, out_channels=cfg.out_channels,
+                         sample_rate=cfg.sample_rate,
+                         features=tuple(cfg.decode_features),
+                         dtype=pol.compute_dtype)
+        self.schedule = make_schedule(cfg.optimizer)
+        self._train_step = None
+        self._eval_step = None
+
+    def init_state(self, rng: jax.Array, pretrained: str = "",
+                   from_pretrain: bool = True) -> TrainState:
+        c = self.cfg
+        x = jnp.zeros((2, c.data.img_size, c.data.img_size, 3))
+        variables = self.model.init(rng, x, train=False)
+        if pretrained:
+            from ..ckpt import import_seg_vit
+
+            variables, _, _ = import_seg_vit(variables, pretrained,
+                                             from_pretrain=from_pretrain)
+        mask = _seg_freeze_mask(variables["params"], c.freeze_encoder)
+        self.tx = make_optimizer(c.optimizer, freeze_mask=mask)
+        state = TrainState.create(variables["params"], self.tx,
+                                  batch_stats=variables.get("batch_stats"))
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def _loss(self, params, batch_stats, images, masks):
+        out, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=True, mutable=["batch_stats"])
+        if self.dual:
+            # masks: (B, H, W, 2) disc/cup channels (train_RIGA.py:243-276)
+            disc, cup = out
+            loss = 0.5 * (
+                mixed_loss(disc[..., 0], masks[..., 0],
+                           self.cfg.mixed_loss_alpha, self.cfg.focal_gamma)
+                + mixed_loss(cup[..., 0], masks[..., 1],
+                             self.cfg.mixed_loss_alpha, self.cfg.focal_gamma))
+        else:
+            loss = mixed_loss(out[..., 0], masks[..., 0],
+                              self.cfg.mixed_loss_alpha, self.cfg.focal_gamma)
+        return loss, mutated["batch_stats"]
+
+    def make_train_step(self):
+        def step_fn(state: TrainState, images, masks):
+            (loss, new_stats), grads = jax.value_and_grad(
+                self._loss, has_aux=True)(state.params, state.batch_stats,
+                                          images, masks)
+            new_state = state.replace(tx=self.tx).apply_gradients(
+                grads, batch_stats=new_stats)
+            return new_state, {"loss": loss, "lr": self.schedule(state.step)}
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def train_step(self, state, images, masks):
+        if self._train_step is None:
+            self._train_step = self.make_train_step()
+        return self._train_step(state, images, masks)
+
+    def make_eval_step(self):
+        def eval_fn(params, batch_stats, images):
+            out = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False)
+            if self.dual:
+                return jax.nn.sigmoid(out[0]), jax.nn.sigmoid(out[1])
+            return jax.nn.sigmoid(out)
+
+        return jax.jit(eval_fn)
+
+    def eval_step(self, state, images):
+        if self._eval_step is None:
+            self._eval_step = self.make_eval_step()
+        return self._eval_step(state.params, state.batch_stats, images)
+
+    def compute_dice(self, probs: np.ndarray, truth: np.ndarray) -> np.ndarray:
+        return dice_scores(np.asarray(probs), np.asarray(truth))

@@ -1,0 +1,135 @@
+"""Train-step tests: loss decreases, sharding works on the 8-device mesh,
+freeze masks actually freeze."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecamp_tpu.core import config as cfg
+from ecamp_tpu.core.mesh import make_mesh
+
+TINY_VIT = cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=64, depth=2,
+                         num_heads=2)
+
+
+def _cls_task(linear_probe=False):
+    from ecamp_tpu.train.classification import ClassificationTask
+
+    c = cfg.ClassificationConfig(
+        vit=TINY_VIT, num_classes=3, is_multilabel=True,
+        linear_probe=linear_probe, bf16=False,
+        optimizer=cfg.OptimizerConfig(name="sgd", lr=0.1, weight_decay=0.0,
+                                      schedule="warmup_cosine_step",
+                                      warmup_steps=2, total_steps=50),
+        mesh=cfg.MeshConfig(data=8),
+    )
+    mesh = make_mesh(c.mesh)
+    return ClassificationTask(c, mesh=mesh)
+
+
+def test_classification_loss_decreases():
+    task = _cls_task()
+    state = task.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, (8, 3)), jnp.float32)
+    losses = []
+    for i in range(8):
+        state, m = task.train_step(state, x, y)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_linear_probe_freezes_trunk():
+    task = _cls_task(linear_probe=True)
+    state = task.init_state(jax.random.PRNGKey(0))
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, (8, 3)), jnp.float32)
+    for _ in range(3):
+        state, _ = task.train_step(state, x, y)
+    trunk_same = np.allclose(
+        np.asarray(state.params["trunk"]["blocks_0"]["attn"]["qkv"]["kernel"]),
+        p0["trunk"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    head_changed = not np.allclose(np.asarray(state.params["head"]["kernel"]),
+                                   p0["head"]["kernel"])
+    assert trunk_same and head_changed
+
+
+def test_segmentation_step_and_dice():
+    from ecamp_tpu.train.segmentation import SegmentationTask
+
+    c = cfg.SegmentationConfig(
+        vit=cfg.ViTConfig(img_size=64, patch_size=16, embed_dim=64, depth=1,
+                          num_heads=2),
+        decode_features=(16, 16, 8, 8), bf16=False,
+        optimizer=cfg.OptimizerConfig(name="adamw", lr=1e-3,
+                                      schedule="warmup_cosine_step",
+                                      warmup_steps=2, total_steps=50),
+        data=cfg.DataConfig(img_size=64), mesh=cfg.MeshConfig(data=8),
+    )
+    task = SegmentationTask(c, mesh=make_mesh(c.mesh))
+    state = task.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 64, 64, 3)), jnp.float32)
+    m = jnp.asarray((rng.random((8, 64, 64, 1)) > 0.7), jnp.float32)
+    state, metrics = task.train_step(state, x, m)
+    assert np.isfinite(float(metrics["loss"]))
+    probs = task.eval_step(state, x)
+    d = task.compute_dice(np.asarray(probs), np.asarray(m))
+    assert d.shape == (8,)
+    assert np.all((d >= 0) & (d <= 1))
+
+
+def test_dice_empty_mask_convention():
+    from ecamp_tpu.train.eval_metrics import dice_scores
+
+    probs = np.zeros((2, 4, 4))
+    truth = np.zeros((2, 4, 4))
+    probs[1, 0, 0] = 0.9  # pred non-empty, gt empty -> 0
+    d = dice_scores(probs, truth)
+    assert d[0] == 1.0 and d[1] == 0.0
+
+
+def test_detection_step_runs():
+    from ecamp_tpu.train.detection import DetectionTask
+
+    c = cfg.DetectionConfig(
+        vit=cfg.ViTConfig(img_size=224, patch_size=16, embed_dim=64, depth=1,
+                          num_heads=2),
+        bf16=False,
+        optimizer=cfg.OptimizerConfig(name="adamw", lr=1e-4,
+                                      schedule="warmup_cosine_step",
+                                      warmup_steps=2, total_steps=50),
+        mesh=cfg.MeshConfig(data=8),
+    )
+    task = DetectionTask(c, mesh=make_mesh(c.mesh))
+    state = task.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 224, 224, 3)), jnp.float32)
+    t = np.zeros((8, 10, 5), np.float32)
+    t[:, 0] = [0, 0.5, 0.5, 0.3, 0.2]  # one box per image
+    state, metrics = task.train_step(state, x, jnp.asarray(t))
+    assert np.isfinite(float(metrics["loss"]))
+    preds = task.eval_step(state, x)
+    assert preds.shape == (8, 3 * (49 + 196 + 784), 6)
+    dets = task.detections(preds)
+    gts = [np.array([[0.4 * 224 - 0.15 * 224, 0.4 * 224 - 0.1 * 224,
+                      0.4 * 224 + 0.15 * 224, 0.4 * 224 + 0.1 * 224]])] * 8
+    mp = task.compute_map(dets, gts)
+    assert 0.0 <= mp <= 1.0
+
+
+def test_roc_auc_matches_closed_form():
+    from ecamp_tpu.train.eval_metrics import roc_auc
+
+    scores = np.array([0.1, 0.4, 0.35, 0.8])
+    labels = np.array([0, 0, 1, 1])
+    # sklearn.roc_auc_score gives 0.75 for this classic example
+    assert abs(roc_auc(scores, labels) - 0.75) < 1e-9
+    # ties handled by average rank
+    s2 = np.array([0.5, 0.5, 0.5, 0.5])
+    l2 = np.array([0, 1, 0, 1])
+    assert abs(roc_auc(s2, l2) - 0.5) < 1e-9
