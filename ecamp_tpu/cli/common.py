@@ -1,0 +1,72 @@
+"""Shared CLI plumbing: arg helpers, logging setup, checkpoint cadence."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--output_dir", default="./output")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--data_volume", default="100", choices=["1", "10", "100"])
+    p.add_argument("--pretrained", default="",
+                   help=".pth or orbax checkpoint to initialize from")
+    p.add_argument("--resume", default="")
+    p.add_argument("--no_bf16", action="store_true")
+    return p
+
+
+def setup_output(output_dir: str, args: argparse.Namespace):
+    os.makedirs(output_dir, exist_ok=True)
+    if jax.process_index() == 0:
+        with open(os.path.join(output_dir, "args.json"), "w") as f:
+            json.dump({k: str(v) for k, v in vars(args).items()}, f, indent=2)
+
+
+def pretrain_ckpt_epochs(epochs: int, mid_every: int = 10, late_every: int = 5):
+    """Checkpoint cadence: epoch 0, every `mid_every` in [60,100), every
+    `late_every` >= 100, and the final epoch (main_pretrain.py:274-292)."""
+    out = set()
+    for e in range(epochs):
+        if e == 0:
+            out.add(e)
+        elif 60 <= e < 100 and e % mid_every == 0:
+            out.add(e)
+        elif e >= 100 and e % late_every == 0:
+            out.add(e)
+    out.add(epochs - 1)
+    return out
+
+
+class EarlyStopper:
+    """Best-metric tracking + patience (Classification/train.py:427,502)."""
+
+    def __init__(self, patience: int, mode: str = "max"):
+        self.patience = patience
+        self.mode = mode
+        self.best: Optional[float] = None
+        self.bad = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True when `value` is a new best."""
+        better = (self.best is None or
+                  (value > self.best if self.mode == "max" else value < self.best))
+        if better:
+            self.best = value
+            self.bad = 0
+            return True
+        self.bad += 1
+        return False
+
+    @property
+    def should_stop(self) -> bool:
+        return self.bad >= self.patience

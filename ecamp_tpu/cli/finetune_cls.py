@@ -1,0 +1,181 @@
+"""Classification fine-tune / linear-probe entry point.
+
+Mirrors Classification/run_{ft,lp}.sh + train.py: per-task class counts,
+validate every len(train_loader) steps, early-stop patience 20, best-AUC/ACC
+checkpointing, final test() with per-class AUROC.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from ..core import config as cfg
+
+_VIT_FACTORY = {"tiny": cfg.vit_tiny, "base": cfg.vit_base,
+                "large": cfg.vit_large, "huge": cfg.vit_huge}
+from ..core.metrics import JsonlLogger, MetricLogger
+from ..data.datasets import ClassificationListDataset
+from ..data.loader import DataLoader
+from ..data.transforms import EvalTransform, TrainTransform
+from ..train.classification import ClassificationTask
+from .common import EarlyStopper, add_common_args, setup_output
+
+# task -> (num_classes, multilabel) (Classification/train.py:37-44,118-121)
+TASKS = {
+    "ChestX-ray14": (14, True), "CheXpert": (5, True), "RSNA": (1, True),
+    "COVIDx": (3, False), "Aptos": (5, False), "SpineXR": (1, True),
+    "ODIR5K": (8, True), "MURED": (20, True),
+}
+
+CLASS_NAMES = {
+    "ChestX-ray14": ["Atelectasis", "Cardiomegaly", "Effusion", "Infiltration",
+                     "Mass", "Nodule", "Pneumonia", "Pneumothorax",
+                     "Consolidation", "Edema", "Emphysema", "Fibrosis",
+                     "Pleural_Thickening", "Hernia"],
+    "CheXpert": ["Atelectasis", "Cardiomegaly", "Consolidation", "Edema",
+                 "Pleural Effusion"],
+}
+
+
+def get_args():
+    p = argparse.ArgumentParser("ecamp_tpu finetune classification")
+    add_common_args(p)
+    p.add_argument("--task", default="ChestX-ray14", choices=sorted(TASKS))
+    p.add_argument("--dataset_path", required=True)
+    p.add_argument("--list_path", default="",
+                   help="dir with <task>/{train,val,test}_list*.txt "
+                        "(defaults to dataset_path)")
+    p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--model", default="base",
+                   choices=["tiny", "base", "large", "huge"])
+    p.add_argument("--ratio", type=float, default=0.875,
+                   help="eval center-crop ratio (Resize(img/ratio))")
+    p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--warmup_steps", type=int, default=500)
+    p.add_argument("--num_steps", type=int, default=3000)
+    p.add_argument("--decay_type", default="cosine", choices=["cosine", "linear"])
+    p.add_argument("--linear_probe", action="store_true")
+    p.add_argument("--patience", type=int, default=20)
+    p.add_argument("--eval_batch_size", type=int, default=128)
+    p.add_argument("--stage", default="train", choices=["train", "test"])
+    return p.parse_args()
+
+
+def evaluate(task: ClassificationTask, state, loader) -> dict:
+    logits_all, labels_all = [], []
+    for batch in loader:
+        logits = task.eval_step(state, batch["image"])
+        logits_all.append(np.asarray(logits, np.float32))
+        labels_all.append(batch["label"])
+    logits = np.concatenate(logits_all)
+    labels = np.concatenate(labels_all)
+    if not task.cfg.is_multilabel:
+        labels = labels.astype(np.int32).ravel() if labels.ndim == 1 else \
+            labels.argmax(-1)
+    return task.compute_metrics(logits, labels)
+
+
+def main():
+    args = get_args()
+    setup_output(args.output_dir, args)
+    list_path = args.list_path or args.dataset_path
+    num_classes, multilabel = TASKS[args.task]
+
+    tt = TrainTransform(args.img_size, 0.4722, 0.3028, seed=args.seed)
+    et = EvalTransform(args.img_size, 0.4722, 0.3028, crop_ratio=args.ratio)
+
+    ccfg = cfg.ClassificationConfig(
+        vit=_VIT_FACTORY[args.model](img_size=args.img_size),
+        optimizer=cfg.OptimizerConfig(
+            name="sgd", lr=args.lr, weight_decay=args.weight_decay,
+            momentum=0.9,
+            schedule=("warmup_cosine_step" if args.decay_type == "cosine"
+                      else "warmup_linear_step"),
+            warmup_steps=args.warmup_steps, total_steps=args.num_steps),
+        task=args.task, num_classes=num_classes, is_multilabel=multilabel,
+        linear_probe=args.linear_probe, patience=args.patience,
+        bf16=not args.no_bf16, seed=args.seed)
+
+    task = ClassificationTask(ccfg)
+    state = task.init_state(jax.random.PRNGKey(args.seed),
+                            pretrained=args.pretrained)
+    ckpt_dir = os.path.join(os.path.abspath(args.output_dir), "best")
+    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+
+    if args.stage == "train":
+        train_ds = ClassificationListDataset(list_path, args.dataset_path,
+                                             args.task, "train",
+                                             args.data_volume, tt)
+        val_ds = ClassificationListDataset(list_path, args.dataset_path,
+                                           args.task, "val", args.data_volume,
+                                           et)
+        train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+                                  seed=args.seed, num_workers=args.num_workers)
+        val_loader = DataLoader(val_ds, args.eval_batch_size, shuffle=False,
+                                drop_last=False,
+                                num_workers=args.num_workers)
+        stopper = EarlyStopper(args.patience, mode="max")
+        metric_key = "auc" if multilabel else "acc"
+        step = 0
+        epoch = 0
+        logger = MetricLogger()
+        from ..ckpt import save_checkpoint
+
+        while step < args.num_steps and not stopper.should_stop:
+            train_loader.set_epoch(epoch)
+            for batch in train_loader:
+                labels = batch["label"]
+                if not multilabel:
+                    labels = labels.argmax(-1).astype(np.int32)
+                state, m = task.train_step(state, batch["image"], labels)
+                logger.update(loss=float(m["loss"]), lr=float(m["lr"]))
+                step += 1
+                # validate every len(train_loader) steps (train.py:427,475)
+                if step % max(1, len(train_loader)) == 0:
+                    metrics = evaluate(task, state, val_loader)
+                    val = metrics[metric_key]
+                    is_best = stopper.update(val)
+                    jsonl.write({"step": step, metric_key: val,
+                                 "best": stopper.best,
+                                 "loss": logger.meters["loss"].global_avg})
+                    print(f"step {step}: val {metric_key}={val:.4f} "
+                          f"(best {stopper.best:.4f})")
+                    if is_best:
+                        save_checkpoint(ckpt_dir, step,
+                                        {"params": jax.device_get(state.params)})
+                    if stopper.should_stop or step >= args.num_steps:
+                        break
+            epoch += 1
+
+    # test phase: reload best, per-class report (train.py:267-361)
+    from ..ckpt import latest_step, restore_checkpoint
+
+    best = latest_step(ckpt_dir)
+    if best is not None:
+        restored = restore_checkpoint(ckpt_dir, best,
+                                      template={"params": state.params})
+        state = state.replace(params=restored["params"])
+    test_ds = ClassificationListDataset(list_path, args.dataset_path,
+                                        args.task, "test", args.data_volume,
+                                        et)
+    test_loader = DataLoader(test_ds, args.eval_batch_size, shuffle=False,
+                             drop_last=False, num_workers=args.num_workers)
+    metrics = evaluate(task, state, test_loader)
+    if multilabel:
+        names = CLASS_NAMES.get(args.task,
+                                [f"class_{i}" for i in range(num_classes)])
+        for n, a in zip(names, metrics["per_class_auc"]):
+            print(f"  {n}: AUROC {a:.4f}")
+        print(f"TEST mean AUROC: {metrics['auc']:.4f}")
+    else:
+        print(f"TEST accuracy: {metrics['acc']:.4f}")
+    jsonl.write({"test": metrics})
+
+
+if __name__ == "__main__":
+    main()

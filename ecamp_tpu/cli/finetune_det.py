@@ -1,0 +1,157 @@
+"""Detection fine-tune entry point (RSNA pneumonia).
+
+Mirrors Detection/run.sh + train.py: 3-scale YOLO loss, expansion 8 for
+1/10% volume else 4 (:136), eval = decode + NMS + mAP@[.40:.05:.75],
+patience 20, best-mAP checkpointing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+
+import jax
+import numpy as np
+
+from ..core import config as cfg
+
+_VIT_FACTORY = {"tiny": cfg.vit_tiny, "base": cfg.vit_base,
+                "large": cfg.vit_large, "huge": cfg.vit_huge}
+from ..core.metrics import JsonlLogger, MetricLogger
+from ..data.datasets import RSNADetectionDataset
+from ..data.loader import DataLoader
+from ..train.detection import DetectionTask
+from .common import EarlyStopper, add_common_args, setup_output
+
+
+def get_args():
+    p = argparse.ArgumentParser("ecamp_tpu finetune detection")
+    add_common_args(p)
+    p.add_argument("--dataset_path", required=True)
+    p.add_argument("--list_path", default="")
+    p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--model", default="base",
+                   choices=["tiny", "base", "large", "huge"])
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--weight_decay", type=float, default=1e-6)
+    p.add_argument("--warmup_steps", type=int, default=50)
+    p.add_argument("--num_steps", type=int, default=3000)
+    p.add_argument("--patience", type=int, default=20)
+    p.add_argument("--eval_batch_size", type=int, default=64)
+    p.add_argument("--conf_threshold", type=float, default=0.5)
+    p.add_argument("--nms_threshold", type=float, default=0.5)
+    p.add_argument("--start_eval", type=int, default=1,
+                   help="skip eval before this epoch (train.py --start_eval)")
+    p.add_argument("--stage", default="train", choices=["train", "test"])
+    return p.parse_args()
+
+
+def _gt_xyxy(targets: np.ndarray, img_size: int):
+    """(B, T, 5) normalized cxcywh -> list of (n, 4) xyxy pixel arrays
+    (Detection/train.py:252-261)."""
+    out = []
+    for rows in targets:
+        valid = rows[rows.sum(-1) > 0]
+        if len(valid) == 0:
+            out.append(np.zeros((0, 4), np.float32))
+            continue
+        cx, cy, w, h = (valid[:, 1] * img_size, valid[:, 2] * img_size,
+                        valid[:, 3] * img_size, valid[:, 4] * img_size)
+        out.append(np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                            axis=1))
+    return out
+
+
+def evaluate(task: DetectionTask, state, loader, img_size: int) -> float:
+    all_dets, all_gts = [], []
+    for batch in loader:
+        preds = task.eval_step(state, batch["image"])
+        all_dets.extend(task.detections(preds))
+        all_gts.extend(_gt_xyxy(batch["target"], img_size))
+    return task.compute_map(all_dets, all_gts)
+
+
+def main():
+    args = get_args()
+    setup_output(args.output_dir, args)
+    list_path = args.list_path or args.dataset_path
+    expansion = 8 if args.data_volume in ("1", "10") else 4  # train.py:136
+
+    dcfg = cfg.DetectionConfig(
+        vit=_VIT_FACTORY[args.model](img_size=args.img_size),
+        optimizer=cfg.OptimizerConfig(
+            name="adamw", lr=args.lr, weight_decay=args.weight_decay,
+            betas=(0.9, 0.999), schedule="warmup_cosine_step",
+            warmup_steps=args.warmup_steps, total_steps=args.num_steps),
+        img_size=args.img_size, expansion=expansion,
+        conf_threshold=args.conf_threshold, nms_threshold=args.nms_threshold,
+        patience=args.patience, bf16=not args.no_bf16, seed=args.seed)
+
+    task = DetectionTask(dcfg)
+    state = task.init_state(jax.random.PRNGKey(args.seed),
+                            pretrained=args.pretrained)
+    ckpt_dir = os.path.join(os.path.abspath(args.output_dir), "best")
+    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+
+    def make_ds(split):
+        return RSNADetectionDataset(list_path, args.dataset_path, split,
+                                    img_size=args.img_size,
+                                    data_volume=args.data_volume)
+
+    if args.stage == "train":
+        train_loader = DataLoader(make_ds("train"), args.batch_size,
+                                  shuffle=True, seed=args.seed,
+                                  num_workers=args.num_workers)
+        val_loader = DataLoader(make_ds("val"), args.eval_batch_size,
+                                shuffle=False, drop_last=False,
+                                num_workers=args.num_workers)
+        stopper = EarlyStopper(args.patience, mode="max")
+        from ..ckpt import save_checkpoint
+
+        step, epoch = 0, 0
+        logger = MetricLogger()
+        while step < args.num_steps and not stopper.should_stop:
+            train_loader.set_epoch(epoch)
+            for batch in train_loader:
+                state, m = task.train_step(state, batch["image"],
+                                           batch["target"])
+                logger.update(loss=float(m["loss"]), lr=float(m["lr"]))
+                step += 1
+                if step % max(1, len(train_loader)) == 0:
+                    if epoch + 1 >= args.start_eval:
+                        ap = evaluate(task, state, val_loader, args.img_size)
+                        is_best = stopper.update(ap)
+                        jsonl.write({"step": step, "mAP": ap,
+                                     "best": stopper.best})
+                        print(f"step {step}: val mAP={ap:.4f} "
+                              f"(best {stopper.best:.4f})")
+                        if is_best:
+                            save_checkpoint(
+                                ckpt_dir, step,
+                                {"params": jax.device_get(state.params),
+                                 "batch_stats": jax.device_get(
+                                     state.batch_stats)})
+                    if stopper.should_stop or step >= args.num_steps:
+                        break
+            epoch += 1
+
+    from ..ckpt import latest_step, restore_checkpoint
+
+    best = latest_step(ckpt_dir)
+    if best is not None:
+        restored = restore_checkpoint(
+            ckpt_dir, best, template={"params": state.params,
+                                      "batch_stats": state.batch_stats})
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
+    test_loader = DataLoader(make_ds("test"), args.eval_batch_size,
+                             shuffle=False, drop_last=False,
+                             num_workers=args.num_workers)
+    ap = evaluate(task, state, test_loader, args.img_size)
+    print(f"TEST mAP@[.40:.05:.75]: {ap:.4f}")
+    jsonl.write({"test_map": ap})
+
+
+if __name__ == "__main__":
+    main()

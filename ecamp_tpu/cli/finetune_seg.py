@@ -1,0 +1,148 @@
+"""Segmentation fine-tune entry point (SIIM / RSNA / RIGA).
+
+Mirrors Segmentation/run.sh + train.py / train_RIGA.py: AdamW +
+warmup-cosine, MixedLoss, dice eval per epoch-equivalent, patience 40,
+best-dice checkpointing, final test.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from ..core import config as cfg
+
+_VIT_FACTORY = {"tiny": cfg.vit_tiny, "base": cfg.vit_base,
+                "large": cfg.vit_large, "huge": cfg.vit_huge}
+from ..core.metrics import JsonlLogger, MetricLogger
+from ..data.datasets import (RIGASegmentationDataset, RSNASegmentationDataset,
+                             SIIMSegmentationDataset)
+from ..data.loader import DataLoader
+from ..train.segmentation import SegmentationTask
+from .common import EarlyStopper, add_common_args, setup_output
+
+DATASETS = {"SIIM": SIIMSegmentationDataset, "RSNA": RSNASegmentationDataset,
+            "RIGA": RIGASegmentationDataset}
+
+
+def get_args():
+    p = argparse.ArgumentParser("ecamp_tpu finetune segmentation")
+    add_common_args(p)
+    p.add_argument("--task", default="SIIM", choices=sorted(DATASETS))
+    p.add_argument("--dataset_path", required=True)
+    p.add_argument("--list_path", default="")
+    p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--model", default="base",
+                   choices=["tiny", "base", "large", "huge"])
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--warmup_steps", type=int, default=50)
+    p.add_argument("--num_steps", type=int, default=3000)
+    p.add_argument("--patience", type=int, default=40)
+    p.add_argument("--eval_batch_size", type=int, default=64)
+    p.add_argument("--no_freeze_encoder", action="store_true")
+    p.add_argument("--stage", default="train", choices=["train", "test"])
+    return p.parse_args()
+
+
+def evaluate(task: SegmentationTask, state, loader) -> float:
+    dices = []
+    for batch in loader:
+        probs = task.eval_step(state, batch["image"])
+        if task.dual:
+            disc, cup = probs
+            d1 = task.compute_dice(np.asarray(disc)[..., 0],
+                                   batch["mask"][..., 0])
+            d2 = task.compute_dice(np.asarray(cup)[..., 0],
+                                   batch["mask"][..., 1])
+            dices.append((d1 + d2) / 2.0)  # train_RIGA.py:264-327
+        else:
+            dices.append(task.compute_dice(np.asarray(probs)[..., 0],
+                                           batch["mask"][..., 0]))
+    return float(np.concatenate(dices).mean())
+
+
+def main():
+    args = get_args()
+    setup_output(args.output_dir, args)
+    list_path = args.list_path or args.dataset_path
+    ds_cls = DATASETS[args.task]
+
+    scfg = cfg.SegmentationConfig(
+        vit=_VIT_FACTORY[args.model](img_size=args.img_size),
+        optimizer=cfg.OptimizerConfig(
+            name="adamw", lr=args.lr, weight_decay=args.weight_decay,
+            betas=(0.9, 0.999), schedule="warmup_cosine_step",
+            warmup_steps=args.warmup_steps, total_steps=args.num_steps),
+        task=args.task, freeze_encoder=not args.no_freeze_encoder,
+        patience=args.patience, bf16=not args.no_bf16, seed=args.seed,
+        data=cfg.DataConfig(img_size=args.img_size))
+
+    task = SegmentationTask(scfg)
+    state = task.init_state(jax.random.PRNGKey(args.seed),
+                            pretrained=args.pretrained)
+    ckpt_dir = os.path.join(os.path.abspath(args.output_dir), "best")
+    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+
+    def make_ds(split):
+        return ds_cls(list_path, args.dataset_path, split,
+                      img_size=args.img_size, data_volume=args.data_volume,
+                      seed=args.seed)
+
+    if args.stage == "train":
+        train_loader = DataLoader(make_ds("train"), args.batch_size,
+                                  shuffle=True, seed=args.seed,
+                                  num_workers=args.num_workers)
+        val_loader = DataLoader(make_ds("val"), args.eval_batch_size,
+                                shuffle=False, drop_last=False,
+                                num_workers=args.num_workers)
+        stopper = EarlyStopper(args.patience, mode="max")
+        from ..ckpt import save_checkpoint
+
+        step, epoch = 0, 0
+        logger = MetricLogger()
+        while step < args.num_steps and not stopper.should_stop:
+            train_loader.set_epoch(epoch)
+            for batch in train_loader:
+                state, m = task.train_step(state, batch["image"],
+                                           batch["mask"])
+                logger.update(loss=float(m["loss"]), lr=float(m["lr"]))
+                step += 1
+                if step % max(1, len(train_loader)) == 0:
+                    dice = evaluate(task, state, val_loader)
+                    is_best = stopper.update(dice)
+                    jsonl.write({"step": step, "dice": dice,
+                                 "best": stopper.best})
+                    print(f"step {step}: val dice={dice:.4f} "
+                          f"(best {stopper.best:.4f})")
+                    if is_best:
+                        save_checkpoint(
+                            ckpt_dir, step,
+                            {"params": jax.device_get(state.params),
+                             "batch_stats": jax.device_get(state.batch_stats)})
+                    if stopper.should_stop or step >= args.num_steps:
+                        break
+            epoch += 1
+
+    from ..ckpt import latest_step, restore_checkpoint
+
+    best = latest_step(ckpt_dir)
+    if best is not None:
+        restored = restore_checkpoint(
+            ckpt_dir, best, template={"params": state.params,
+                                      "batch_stats": state.batch_stats})
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
+    test_loader = DataLoader(make_ds("test"), args.eval_batch_size,
+                             shuffle=False, drop_last=False,
+                             num_workers=args.num_workers)
+    dice = evaluate(task, state, test_loader)
+    print(f"TEST dice: {dice:.4f}")
+    jsonl.write({"test_dice": dice})
+
+
+if __name__ == "__main__":
+    main()

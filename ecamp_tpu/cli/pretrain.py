@@ -1,0 +1,124 @@
+"""Pre-training entry point.
+
+Mirrors ECAMP/Pre-training/run.sh + main_pretrain.py: e.g.
+
+python -m ecamp_tpu.cli.pretrain \
+  --data_path /data/mimic --batch_size 256 --accum_iter 8 \
+  --epochs 120 --max_epoch 200 --warmup_epochs 40 \
+  --blr-none --lr 1.5e-4 --weight_decay 0.05 --mask_ratio 0.75 \
+  --resume /ckpts/mae_vit_base.pth --output_dir ./out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..core import config as cfg
+from ..core.metrics import JsonlLogger, MetricLogger
+from ..data.datasets import PretrainReportDataset
+from ..data.loader import DataLoader
+from ..train.pretrain import PretrainTask
+from .common import add_common_args, pretrain_ckpt_epochs, setup_output
+
+
+def get_args():
+    p = argparse.ArgumentParser("ecamp_tpu pretrain")
+    add_common_args(p)
+    p.add_argument("--data_path", required=True,
+                   help="dir with mimic CSVs + mimic_wordpiece.json")
+    p.add_argument("--epochs", type=int, default=120)
+    p.add_argument("--max_epoch", type=int, default=200)
+    p.add_argument("--warmup_epochs", type=float, default=40)
+    p.add_argument("--lr", type=float, default=1.5e-4)
+    p.add_argument("--min_lr", type=float, default=0.0)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--mask_ratio", type=float, default=0.75)
+    p.add_argument("--accum_iter", type=int, default=1)
+    p.add_argument("--input_size", type=int, default=448)
+    p.add_argument("--norm_pix_loss", action="store_true",
+                   help="parsed for parity; unused on the loss path, "
+                        "exactly like the reference (model_ecamp.py:100)")
+    p.add_argument("--print_freq", type=int, default=20)
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    setup_output(args.output_dir, args)
+
+    dataset = PretrainReportDataset(args.data_path, img_size=args.input_size,
+                                    seed=args.seed)
+    loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=True,
+                        seed=args.seed, num_workers=args.num_workers,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
+    steps_per_epoch = max(1, len(loader))
+
+    pconf = cfg.PretrainConfig(
+        optimizer=cfg.OptimizerConfig(
+            name="adamw", lr=args.lr, min_lr=args.min_lr,
+            weight_decay=args.weight_decay, betas=(0.9, 0.95),
+            schedule="warmup_cosine_epoch", warmup_epochs=args.warmup_epochs,
+            accum_steps=args.accum_iter),
+        data=cfg.DataConfig(img_size=args.input_size,
+                            batch_size=args.batch_size),
+        mask_ratio=args.mask_ratio, epochs=args.epochs,
+        max_epoch=args.max_epoch, bf16=not args.no_bf16, seed=args.seed)
+
+    task = PretrainTask(pconf, steps_per_epoch=steps_per_epoch)
+    rng = jax.random.PRNGKey(args.seed)
+    state = task.init_state(rng, pretrained=args.pretrained)
+
+    start_epoch = 0
+    ckpt_dir = os.path.join(os.path.abspath(args.output_dir), "ckpt")
+    if args.resume:
+        if args.resume.endswith(".pth"):
+            state = task.init_state(rng, pretrained=args.resume)
+        else:
+            from ..ckpt import latest_step, restore_checkpoint
+
+            step = latest_step(args.resume)
+            if step is not None:
+                restored = restore_checkpoint(
+                    args.resume, step,
+                    template={"params": state.params,
+                              "opt_state": state.opt_state, "step": 0})
+                state = state.replace(params=restored["params"],
+                                      opt_state=restored["opt_state"],
+                                      step=np.int32(restored["step"]))
+                start_epoch = int(restored["step"]) // steps_per_epoch
+
+    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"),
+                        enabled=jax.process_index() == 0)
+    ckpt_epochs = pretrain_ckpt_epochs(args.epochs)
+    step_rng = jax.random.PRNGKey(args.seed + 1)
+
+    for epoch in range(start_epoch, args.epochs):
+        loader.set_epoch(epoch)
+        logger = MetricLogger()
+        for batch in logger.log_every(iter(loader), args.print_freq,
+                                      header=f"Epoch [{epoch}]"):
+            sharded = task.shard_batch(batch)
+            state, metrics = task.train_step(state, sharded, step_rng)
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        logger.synchronize_between_processes()
+        record = {"epoch": epoch,
+                  **{k: m.global_avg for k, m in logger.meters.items()}}
+        jsonl.write(record)
+        if epoch in ckpt_epochs and jax.process_index() == 0:
+            from ..ckpt import save_checkpoint
+
+            save_checkpoint(ckpt_dir, int(state.step),
+                            {"params": jax.device_get(state.params),
+                             "opt_state": jax.device_get(state.opt_state),
+                             "step": int(state.step)})
+            print(f"saved checkpoint @ epoch {epoch}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Host-side image transforms (PIL + numpy), NHWC float32 output.
+
+Matches the reference's torchvision stacks:
+  pretrain: RandomResizedCrop(448, scale=(0.2,1)) bicubic + HFlip +
+            Grayscale(3) + Normalize(0.4721, 0.3037)
+            (pretrain_datasets.py:47-52)
+  cls train: RandomResizedCrop(img) + HFlip + Grayscale(3) +
+             Normalize(0.4722, 0.3028) (Classification/utils/data_utils.py:20-27)
+  cls eval:  Resize(img/ratio) + CenterCrop + Grayscale(3) + Normalize
+             (data_utils.py:29-34)
+
+RandomResizedCrop reproduces torchvision's sampling (10 area/log-ratio
+draws then center fallback). Grayscale uses the ITU-R 601-2 luma transform
+(PIL 'L'), replicated to 3 channels.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def _interp(name: str):
+    return {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR,
+            "nearest": Image.NEAREST}[name]
+
+
+def random_resized_crop(img: Image.Image, size: int, rng: random.Random,
+                        scale: Tuple[float, float] = (0.08, 1.0),
+                        ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+                        interpolation: str = "bilinear") -> Image.Image:
+    width, height = img.size
+    area = width * height
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = math.exp(rng.uniform(log_ratio[0], log_ratio[1]))
+        w = int(round(math.sqrt(target_area * aspect)))
+        h = int(round(math.sqrt(target_area / aspect)))
+        if 0 < w <= width and 0 < h <= height:
+            i = rng.randint(0, height - h)
+            j = rng.randint(0, width - w)
+            return img.resize((size, size), _interp(interpolation),
+                              box=(j, i, j + w, i + h))
+    # fallback: center crop at clamped aspect (torchvision semantics)
+    in_ratio = width / height
+    if in_ratio < ratio[0]:
+        w, h = width, int(round(width / ratio[0]))
+    elif in_ratio > ratio[1]:
+        h, w = height, int(round(height * ratio[1]))
+    else:
+        w, h = width, height
+    i = (height - h) // 2
+    j = (width - w) // 2
+    return img.resize((size, size), _interp(interpolation),
+                      box=(j, i, j + w, i + h))
+
+
+def center_crop_resize(img: Image.Image, size: int, resize_to: int,
+                       interpolation: str = "bilinear") -> Image.Image:
+    """Resize smaller edge to resize_to then center-crop size x size."""
+    w, h = img.size
+    if w < h:
+        nw, nh = resize_to, int(round(h * resize_to / w))
+    else:
+        nh, nw = resize_to, int(round(w * resize_to / h))
+    img = img.resize((nw, nh), _interp(interpolation))
+    left = (nw - size) // 2
+    top = (nh - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+def to_grayscale3(img: Image.Image) -> Image.Image:
+    return img.convert("L").convert("RGB")
+
+
+def normalize(arr: np.ndarray, mean: float, std: float) -> np.ndarray:
+    """uint8 HWC -> float32 normalized."""
+    x = arr.astype(np.float32) / 255.0
+    return (x - mean) / std
+
+
+class TrainTransform:
+    """RandomResizedCrop + HFlip + Grayscale(3) + Normalize."""
+
+    def __init__(self, size: int, mean: float, std: float,
+                 scale: Tuple[float, float] = (0.08, 1.0),
+                 interpolation: str = "bilinear", seed: int = 0):
+        self.size = size
+        self.mean = mean
+        self.std = std
+        self.scale = scale
+        self.interpolation = interpolation
+        self.rng = random.Random(seed)
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        img = random_resized_crop(img, self.size, self.rng, self.scale,
+                                  interpolation=self.interpolation)
+        if self.rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        img = to_grayscale3(img)
+        return normalize(np.asarray(img), self.mean, self.std)
+
+
+class EvalTransform:
+    """Resize(size/crop_ratio) + CenterCrop + Grayscale(3) + Normalize."""
+
+    def __init__(self, size: int, mean: float, std: float,
+                 crop_ratio: float = 0.875, interpolation: str = "bilinear"):
+        self.size = size
+        self.resize_to = int(size / crop_ratio)
+        self.mean = mean
+        self.std = std
+        self.interpolation = interpolation
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        img = center_crop_resize(img, self.size, self.resize_to,
+                                 self.interpolation)
+        img = to_grayscale3(img)
+        return normalize(np.asarray(img), self.mean, self.std)

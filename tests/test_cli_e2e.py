@@ -1,0 +1,67 @@
+"""End-to-end CLI test: tiny classification fine-tune through the real
+entry point (train -> validate -> best ckpt -> test report)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture
+def toy_cls_data(tmp_path):
+    rng = np.random.default_rng(0)
+    lists = tmp_path / "lists" / "RSNA"
+    lists.mkdir(parents=True)
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    # make the task learnable: positives bright, negatives dark
+    def write_split(name, n):
+        lines = []
+        for i in range(n):
+            label = i % 2
+            base = 190 if label else 60
+            arr = rng.integers(base - 30, base + 30,
+                               (48, 48, 3)).astype(np.uint8)
+            fn = f"{name}_{i}.png"
+            Image.fromarray(arr).save(imgs / fn)
+            lines.append(f"{fn} {label}\n")
+        (lists / f"{name}_list.txt").write_text("".join(lines))
+
+    write_split("train", 16)
+    write_split("val", 8)
+    write_split("test", 8)
+    return tmp_path
+
+
+def test_finetune_cls_cli(toy_cls_data, tmp_path, monkeypatch, capsys):
+    from ecamp_tpu.cli import finetune_cls
+
+    out = tmp_path / "out"
+    argv = [
+        "finetune_cls", "--task", "RSNA",
+        "--dataset_path", str(toy_cls_data / "imgs"),
+        "--list_path", str(toy_cls_data / "lists"),
+        "--img_size", "32", "--model", "tiny",
+        "--batch_size", "8", "--eval_batch_size", "8",
+        "--num_steps", "6", "--warmup_steps", "1",
+        "--lr", "0.01", "--num_workers", "2",
+        "--output_dir", str(out), "--no_bf16",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    finetune_cls.main()
+    captured = capsys.readouterr().out
+    assert "TEST mean AUROC" in captured
+    assert (out / "log.txt").exists()
+    assert (out / "best").exists()
+
+
+def test_visualize_jet():
+    from ecamp_tpu.cli.visualize import jet_colormap
+
+    c = jet_colormap(np.asarray([0.0, 0.5, 1.0]))
+    assert c.shape == (3, 3)
+    # low -> blue dominant, high -> red dominant
+    assert c[0, 2] > c[0, 0]
+    assert c[2, 0] > c[2, 2]

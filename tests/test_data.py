@@ -1,0 +1,201 @@
+"""Data layer tests: tokenizer parity vs the HF Rust tokenizer on the
+reference asset, entity masking semantics, transforms, loader, datasets."""
+
+import json
+import os
+import random
+
+import numpy as np
+import pytest
+
+TOKENIZER_JSON = "/root/reference/ECAMP/Pre-training/dataset/mimic_wordpiece.json"
+
+SAMPLE_TEXTS = [
+    "[CLS] There is no evidence of pneumothorax. Mild cardiomegaly noted.",
+    "[CLS] the lungs are clear. no effusion, consolidation or edema seen.",
+    "[CLS] Comparison made 2023-01-05; 5cm nodule in right hilar region!!",
+    "[CLS] s/p CABG. Degenerative changes of the spine. IMPRESSION: none.",
+    "[CLS] Fréquence cardiaque élevée, sinon RAS (accents test).",
+]
+
+
+@pytest.fixture(scope="module")
+def wp():
+    from ecamp_tpu.data.tokenizer import WordPieceTokenizer
+
+    if not os.path.exists(TOKENIZER_JSON):
+        pytest.skip("reference tokenizer asset unavailable")
+    return WordPieceTokenizer.from_file(TOKENIZER_JSON)
+
+
+def test_tokenizer_special_ids(wp):
+    v = wp.get_vocab()
+    assert v["[PAD]"] == 0 and v["[CLS]"] == 2 and v["[MASK]"] == 3
+    assert v["."] == 16
+    assert [v[t] for t in ["there", "is", "no", "evidence", "of"]] == \
+        [219, 149, 152, 422, 158]
+
+
+def test_tokenizer_parity_vs_hf(wp):
+    tokenizers = pytest.importorskip("tokenizers")
+    hf = tokenizers.Tokenizer.from_file(TOKENIZER_JSON)
+    hf.enable_truncation(max_length=64)
+    hf.enable_padding(length=64)
+    for text in SAMPLE_TEXTS:
+        ref = hf.encode(text)
+        enc = wp.encode(text, max_length=64, pad_to=64)
+        assert enc.ids.tolist() == ref.ids, (text, enc.tokens, ref.tokens)
+        assert enc.attention_mask.tolist() == ref.attention_mask
+
+
+def test_context_mask_semantics(wp):
+    from ecamp_tpu.data.entity_masking import context_mask
+
+    enc = wp.encode("[CLS] there is severe cardiomegaly today.",
+                    max_length=16, pad_to=16)
+    idx2w = wp.ids_to_tokens
+    # rng that always masks (random() -> 0.0)
+    class Always:
+        def random(self):
+            return 0.0
+
+    masked, mask_pos = context_mask(enc.ids, idx2w, Always())
+    v = wp.get_vocab()
+    ent = enc.ids.tolist().index(v["cardiomegaly"])
+    # entity masked by the 75% pass; context positions recorded
+    assert masked[ent] == 3
+    assert (ent - 1) in mask_pos and (ent - 2) in mask_pos
+    # context positions themselves NOT masked (dead-branch parity) unless
+    # they were '##' continuations of a masked token
+    assert masked[0] == enc.ids[0]  # [CLS] untouched (loop starts at 1)
+    # pads (beyond sentence) untouched
+    assert masked[-1] == 0
+
+    class Never:
+        def random(self):
+            return 1.0
+
+    masked2, _ = context_mask(enc.ids, idx2w, Never())
+    assert masked2.tolist() == enc.ids.tolist()
+
+
+def test_template_weights_and_rebalance(wp):
+    from ecamp_tpu.data.entity_masking import (
+        rebalance_weights, template_weights)
+
+    enc = wp.encode("[CLS] there is no evidence of pneumothorax. "
+                    "there is no effusion.", max_length=32, pad_to=32)
+    w, dim_pos, cnt = template_weights(enc.ids, 32)
+    assert cnt == 8  # 5 + 3
+    assert all(w[p] == pytest.approx(0.05) for p in dim_pos)
+    # no masked context -> global expansion branch
+    w2 = rebalance_weights(w, [], dim_pos, cnt, 32)
+    expand = 32 / (32 - 0.95 * 8)
+    assert w2[dim_pos[0]] == pytest.approx(0.05 * expand)
+    assert w2[20] == pytest.approx(1.0 * expand)
+    # masked-context branch
+    mask_pos = [dim_pos[0], 20]
+    w3 = rebalance_weights(w, mask_pos, dim_pos, cnt, 32)
+    exp3 = (0.95 * (cnt - 1) + 2) / (2 - 0.95 * 1)
+    assert w3[20] == pytest.approx(exp3)
+
+
+def test_build_text_example(wp):
+    from ecamp_tpu.data.entity_masking import build_text_example
+
+    rng = random.Random(0)
+    out = build_text_example("the lungs are clear. no pneumothorax.",
+                             "llm says: heart size normal.", wp, rng,
+                             max_len=64)
+    assert out["ids"].shape == (64,)
+    assert out["labels"][0] == 2  # [CLS]
+    assert np.all(out["weights"] >= 0)
+    # masked ids differ from labels somewhere (something got masked)
+    assert (out["ids"] != out["labels"]).any()
+    # pads identical in both
+    pad_at = np.where(out["attention_mask"] == 0)[0]
+    assert np.all(out["ids"][pad_at] == 0)
+
+
+def test_rle_roundtrip():
+    from ecamp_tpu.data.datasets import rle2mask
+
+    # simple RLE: skip 3, fill 2 (column-major + transpose convention)
+    m = rle2mask("3 2", 8, 8)
+    assert m.sum() == 2
+    flat = m.T.reshape(-1)
+    assert flat[3] == 1 and flat[4] == 1 and flat[5] == 0
+
+
+def test_resize_pad_square():
+    from ecamp_tpu.data.datasets import resize_pad_square
+
+    arr = np.ones((100, 50), np.float32)
+    out = resize_pad_square(arr, 64)
+    assert out.shape == (64, 64)
+    assert out[:, :15].sum() == 0 and out[:, 50:].sum() == 0  # padded sides
+
+
+def test_shift_scale_rotate_mask_alignment():
+    from ecamp_tpu.data.datasets import shift_scale_rotate
+
+    rng = random.Random(1)
+    img = np.zeros((64, 64, 3), np.float32)
+    img[20:40, 20:40] = 1.0
+    mask = np.zeros((64, 64), np.float32)
+    mask[20:40, 20:40] = 1.0
+    img2, mask2 = shift_scale_rotate(img, mask, rng, p=1.0)
+    # transformed mask overlaps transformed image region heavily
+    inter = ((img2[..., 0] > 0.5) & (mask2 > 0.5)).sum()
+    assert inter > 0.7 * (mask2 > 0.5).sum()
+
+
+def test_loader_sharding_and_shuffle():
+    from ecamp_tpu.data.loader import DataLoader
+
+    class Toy:
+        def __len__(self):
+            return 103
+
+        def __getitem__(self, i):
+            return {"x": np.asarray([i], np.int32)}
+
+    dl = DataLoader(Toy(), batch_size=8, shuffle=True, seed=1, num_workers=2)
+    seen = [b["x"].ravel() for b in dl]
+    assert len(seen) == 12  # 96 samples, drop_last
+    flat = np.concatenate(seen)
+    assert len(set(flat.tolist())) == 96
+    # two processes see disjoint samples
+    d0 = DataLoader(Toy(), batch_size=8, shuffle=True, seed=1,
+                    process_index=0, process_count=2, num_workers=2)
+    d1 = DataLoader(Toy(), batch_size=8, shuffle=True, seed=1,
+                    process_index=1, process_count=2, num_workers=2)
+    s0 = np.concatenate([b["x"].ravel() for b in d0])
+    s1 = np.concatenate([b["x"].ravel() for b in d1])
+    assert set(s0).isdisjoint(set(s1))
+
+
+def test_classification_list_dataset(tmp_path):
+    from ecamp_tpu.data.datasets import ClassificationListDataset
+    from ecamp_tpu.data.transforms import TrainTransform
+    from PIL import Image
+
+    task_dir = tmp_path / "lists" / "toy"
+    task_dir.mkdir(parents=True)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    lines = []
+    for i in range(4):
+        name = f"img_{i}.png"
+        Image.new("RGB", (96, 80), color=(i * 30, 100, 50)).save(img_dir / name)
+        lines.append(f"{name} {i % 2} {1 - i % 2} 0\n")
+    (task_dir / "train_list.txt").write_text("".join(lines))
+    ds = ClassificationListDataset(str(tmp_path / "lists"), str(img_dir),
+                                   "toy", "train", "100",
+                                   TrainTransform(32, 0.4722, 0.3028, seed=0))
+    assert len(ds) == 4
+    s = ds[1]
+    assert s["image"].shape == (32, 32, 3)
+    assert s["label"].tolist() == [1.0, 0.0, 0.0]
+    # grayscale replication: channels identical
+    assert np.allclose(s["image"][..., 0], s["image"][..., 1])
