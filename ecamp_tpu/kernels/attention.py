@@ -60,7 +60,11 @@ def dot_product_attention(
     if return_probs:
         return _xla_attention(q, k, v, bias, scale, return_probs=True)
     if use_flash is None:
-        use_flash = jax.default_backend() == "tpu" and flash_supported(q, k, v, bias)
+        import os
+
+        use_flash = (jax.default_backend() == "tpu"
+                     and os.environ.get("ECAMP_NO_FLASH") != "1"
+                     and flash_supported(q, k, v, bias))
     if use_flash:
         return flash_attention(q, k, v, bias=bias, scale=scale)
     return _xla_attention(q, k, v, bias, scale)

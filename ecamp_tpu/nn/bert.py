@@ -218,10 +218,11 @@ class MLMHead(nn.Module):
         x = jax.nn.gelu(x, approximate=False)
         x = LayerNorm(c.layer_norm_eps, dtype=self.dtype,
                       name="transform_LayerNorm")(x)
-        # vocab projection in fp32: the 30k-way softmax dominates MLM loss
-        # numerics
-        return Dense(c.vocab_size, dtype=jnp.float32,
-                     name="decoder")(x.astype(jnp.float32))
+        # The 30k-way vocab projection is the single largest matmul in the
+        # pretrain step (2*L*D*V ≈ 11.8 GF/sample) — keep it in compute
+        # dtype (bf16 on the MXU, fp32 accumulation); the CE's logsumexp
+        # runs fp32 downstream (ops.losses.softmax_cross_entropy).
+        return Dense(c.vocab_size, dtype=self.dtype, name="decoder")(x)
 
 
 class MultimodalBert(nn.Module):

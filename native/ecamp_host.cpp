@@ -1,0 +1,297 @@
+// ecamp_host — native host-side feeder kernels for ecamp_tpu.
+//
+// TPU-native replacement for the reference's native input-path dependencies
+// (HF `tokenizers` Rust wheel for WordPiece, opencv/PIL-SIMD for image
+// resize — SURVEY §2.10). Exposed via a C ABI and loaded with ctypes; every
+// entry point releases the GIL implicitly (plain C calls), so the Python
+// thread-pool loader gets real parallelism.
+//
+// Scope: ASCII fast path for tokenization (MIMIC reports are ASCII); any
+// string with non-ASCII bytes returns -1 and the caller falls back to the
+// Python implementation (exact-parity path). Image ops are bilinear
+// crop-resize + normalize, matching PIL semantics.
+//
+// Build: see native/build.sh (g++ -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// WordPiece tokenizer
+
+struct Tokenizer {
+    std::unordered_map<std::string, int32_t> vocab;
+    std::vector<std::string> specials;  // matched pre-normalization
+    std::vector<int32_t> special_ids;
+    int32_t unk_id = 1;
+    int32_t pad_id = 0;
+    int32_t max_chars = 100;
+};
+
+Tokenizer* ecamp_tok_new(const char** tokens, const int32_t* ids, int64_t n,
+                         const char** specials, const int32_t* special_ids,
+                         int64_t n_special, int32_t unk_id, int32_t pad_id,
+                         int32_t max_chars) {
+    auto* t = new Tokenizer();
+    t->vocab.reserve(static_cast<size_t>(n) * 2);
+    for (int64_t i = 0; i < n; ++i) t->vocab.emplace(tokens[i], ids[i]);
+    for (int64_t i = 0; i < n_special; ++i) {
+        t->specials.emplace_back(specials[i]);
+        t->special_ids.push_back(special_ids[i]);
+    }
+    t->unk_id = unk_id;
+    t->pad_id = pad_id;
+    t->max_chars = max_chars;
+    return t;
+}
+
+void ecamp_tok_free(Tokenizer* t) { delete t; }
+
+namespace {
+
+inline bool is_word_char(unsigned char c) {
+    // ASCII subset of python's \w (re.UNICODE): [a-zA-Z0-9_]
+    return std::isalnum(c) || c == '_';
+}
+
+inline bool is_space_char(unsigned char c) { return std::isspace(c); }
+
+// WordPiece greedy longest-match on one word. Returns false on UNK.
+bool wordpiece(const Tokenizer& t, const std::string& word,
+               std::vector<int32_t>& out) {
+    if (static_cast<int32_t>(word.size()) > t.max_chars) return false;
+    size_t start = 0;
+    std::string probe;
+    size_t emitted = out.size();
+    while (start < word.size()) {
+        size_t end = word.size();
+        int32_t cur = -1;
+        while (start < end) {
+            probe.clear();
+            if (start > 0) probe = "##";
+            probe.append(word, start, end - start);
+            auto it = t.vocab.find(probe);
+            if (it != t.vocab.end()) { cur = it->second; break; }
+            --end;
+        }
+        if (cur < 0) { out.resize(emitted); return false; }
+        out.push_back(cur);
+        start = end;
+    }
+    return true;
+}
+
+// normalize (ASCII lowercase) + whitespace/punct/digit pretokenize + WP.
+void encode_segment(const Tokenizer& t, const char* s, int64_t len,
+                    std::vector<int32_t>& out) {
+    std::string word;
+    int64_t i = 0;
+    auto flush_word = [&](const std::string& w) {
+        if (w.empty()) return;
+        // Digits pretokenizer: split digit runs from non-digit runs
+        size_t p = 0;
+        while (p < w.size()) {
+            size_t q = p;
+            bool dig = std::isdigit(static_cast<unsigned char>(w[p]));
+            while (q < w.size() &&
+                   (std::isdigit(static_cast<unsigned char>(w[q])) != 0) == dig)
+                ++q;
+            std::string piece = w.substr(p, q - p);
+            if (!wordpiece(t, piece, out)) out.push_back(t.unk_id);
+            p = q;
+        }
+    };
+    while (i < len) {
+        unsigned char c = static_cast<unsigned char>(s[i]);
+        if (is_space_char(c)) { flush_word(word); word.clear(); ++i; continue; }
+        if (is_word_char(c)) {
+            word.push_back(static_cast<char>(std::tolower(c)));
+            ++i;
+            continue;
+        }
+        // punctuation run [^\w\s]+
+        flush_word(word); word.clear();
+        std::string punct;
+        while (i < len) {
+            unsigned char pc = static_cast<unsigned char>(s[i]);
+            if (is_space_char(pc) || is_word_char(pc)) break;
+            punct.push_back(s[i]);
+            ++i;
+        }
+        if (!wordpiece(t, punct, out)) out.push_back(t.unk_id);
+    }
+    flush_word(word);
+}
+
+}  // namespace
+
+// Encode one text. Returns number of real tokens written (<= pad_to), or -1
+// if the text contains non-ASCII bytes (caller must fall back to Python).
+int64_t ecamp_tok_encode(const Tokenizer* t, const char* text, int64_t len,
+                         int32_t max_len, int32_t pad_to, int32_t* out_ids,
+                         int32_t* out_attn) {
+    for (int64_t i = 0; i < len; ++i)
+        if (static_cast<unsigned char>(text[i]) >= 0x80) return -1;
+
+    std::vector<int32_t> ids;
+    ids.reserve(max_len);
+    // special-token splitting (pre-normalization)
+    int64_t pos = 0;
+    while (pos < len) {
+        int64_t next = len;
+        int64_t which = -1;
+        for (size_t k = 0; k < t->specials.size(); ++k) {
+            const char* found = static_cast<const char*>(memmem(
+                text + pos, static_cast<size_t>(len - pos),
+                t->specials[k].data(), t->specials[k].size()));
+            if (found) {
+                int64_t at = found - text;
+                if (at < next) { next = at; which = static_cast<int64_t>(k); }
+            }
+        }
+        if (next > pos) encode_segment(*t, text + pos, next - pos, ids);
+        if (which >= 0) {
+            ids.push_back(t->special_ids[static_cast<size_t>(which)]);
+            pos = next + static_cast<int64_t>(t->specials[
+                static_cast<size_t>(which)].size());
+        } else {
+            pos = next;
+        }
+    }
+    int64_t n = std::min<int64_t>(static_cast<int64_t>(ids.size()), max_len);
+    for (int64_t i = 0; i < pad_to; ++i) {
+        out_ids[i] = i < n ? ids[static_cast<size_t>(i)] : t->pad_id;
+        out_attn[i] = i < n ? 1 : 0;
+    }
+    return n;
+}
+
+// ---------------------------------------------------------------------------
+// Image ops: PIL-semantics bilinear crop-resize (u8 HWC -> f32 HWC) with
+// grayscale replicate + normalize fused. PIL's BILINEAR is an antialiased
+// separable triangle-filter resample (support scales with the downscale
+// factor) — reproduced here so the native path matches the Python/PIL path.
+
+namespace {
+
+struct FilterTaps {
+    std::vector<int32_t> bounds;   // (xmin, size) per output pixel
+    std::vector<float> weights;    // ksize per output pixel
+    int32_t ksize = 0;
+};
+
+inline double triangle(double x) {
+    x = std::abs(x);
+    return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+FilterTaps compute_taps(int64_t in_size, int64_t out_size, double box0,
+                        double box1) {
+    FilterTaps taps;
+    const double scale = (box1 - box0) / static_cast<double>(out_size);
+    const double filterscale = std::max(scale, 1.0);
+    const double support = 1.0 * filterscale;  // bilinear support = 1
+    taps.ksize = static_cast<int32_t>(std::ceil(support)) * 2 + 1;
+    taps.bounds.resize(static_cast<size_t>(out_size) * 2);
+    taps.weights.assign(static_cast<size_t>(out_size) * taps.ksize, 0.0);
+    for (int64_t x = 0; x < out_size; ++x) {
+        double center = box0 + (x + 0.5) * scale;
+        int64_t xmin = static_cast<int64_t>(center - support + 0.5);
+        xmin = std::max<int64_t>(xmin, 0);
+        int64_t xmax = static_cast<int64_t>(center + support + 0.5);
+        xmax = std::min<int64_t>(xmax, in_size) - xmin;
+        float* w = &taps.weights[static_cast<size_t>(x) * taps.ksize];
+        double total = 0.0;
+        for (int64_t j = 0; j < xmax; ++j) {
+            double val = triangle((j + xmin - center + 0.5) / filterscale);
+            w[j] = val;
+            total += val;
+        }
+        if (total != 0.0)
+            for (int64_t j = 0; j < xmax; ++j) w[j] /= total;
+        taps.bounds[static_cast<size_t>(x) * 2] = static_cast<int32_t>(xmin);
+        taps.bounds[static_cast<size_t>(x) * 2 + 1] = static_cast<int32_t>(xmax);
+    }
+    return taps;
+}
+
+}  // namespace
+
+void ecamp_resize_norm(const uint8_t* src, int64_t sh, int64_t sw,
+                       int64_t channels,
+                       double box_x0, double box_y0, double box_x1,
+                       double box_y1, int64_t oh, int64_t ow,
+                       float mean, float std_, int32_t grayscale,
+                       float* dst) {
+    const FilterTaps hx = compute_taps(sw, ow, box_x0, box_x1);
+    const FilterTaps vy = compute_taps(sh, oh, box_y0, box_y1);
+    const float inv_std = 1.0f / std_;
+    const int64_t c_in = channels;
+
+    // horizontal pass over only the source rows the vertical pass reads
+    int64_t ymin_all = sh, ymax_all = 0;
+    for (int64_t y = 0; y < oh; ++y) {
+        ymin_all = std::min<int64_t>(ymin_all, vy.bounds[y * 2]);
+        ymax_all = std::max<int64_t>(ymax_all,
+                                     vy.bounds[y * 2] + vy.bounds[y * 2 + 1]);
+    }
+    std::vector<float> temp(static_cast<size_t>(ymax_all - ymin_all) * ow * c_in);
+    for (int64_t y = ymin_all; y < ymax_all; ++y) {
+        const uint8_t* row = src + y * sw * c_in;
+        float* trow = temp.data() + (y - ymin_all) * ow * c_in;
+        for (int64_t x = 0; x < ow; ++x) {
+            int32_t xmin = hx.bounds[x * 2];
+            int32_t xsz = hx.bounds[x * 2 + 1];
+            const float* w = &hx.weights[static_cast<size_t>(x) * hx.ksize];
+            for (int64_t c = 0; c < c_in; ++c) {
+                float acc = 0.0f;
+                for (int32_t j = 0; j < xsz; ++j)
+                    acc += row[(xmin + j) * c_in + c] * w[j];
+                trow[x * c_in + c] = acc;
+            }
+        }
+    }
+    // vertical pass + fused grayscale/normalize
+    for (int64_t y = 0; y < oh; ++y) {
+        int32_t ymin = vy.bounds[y * 2];
+        int32_t ysz = vy.bounds[y * 2 + 1];
+        const float* w = &vy.weights[static_cast<size_t>(y) * vy.ksize];
+        for (int64_t x = 0; x < ow; ++x) {
+            float px[4] = {0, 0, 0, 0};
+            for (int32_t j = 0; j < ysz; ++j) {
+                const float* trow = temp.data() +
+                    (ymin + j - ymin_all) * ow * c_in;
+                for (int64_t c = 0; c < c_in; ++c)
+                    px[c] += trow[x * c_in + c] * w[j];
+            }
+            float* out = dst + (y * ow + x) * 3;
+            if (grayscale && c_in >= 3) {
+                // PIL convert('L') rounds to u8 BEFORE normalize; match it
+                float l = px[0] * 0.299f + px[1] * 0.587f + px[2] * 0.114f;
+                float lq = static_cast<float>(static_cast<uint8_t>(
+                    std::clamp(l + 0.5f, 0.0f, 255.0f)));
+                float v = (lq / 255.0f - mean) * inv_std;
+                out[0] = out[1] = out[2] = v;
+            } else {
+                for (int64_t c = 0; c < 3; ++c) {
+                    float v = px[c_in == 1 ? 0 : c];
+                    float vq = static_cast<float>(static_cast<uint8_t>(
+                        std::clamp(v + 0.5f, 0.0f, 255.0f)));
+                    out[c] = (vq / 255.0f - mean) * inv_std;
+                }
+            }
+        }
+    }
+}
+
+int32_t ecamp_abi_version() { return 1; }
+
+}  // extern "C"
