@@ -33,7 +33,13 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 _LANE = 128
-_MAX_FUSED_KV = 2048  # beyond this, fall back to XLA (not hit by ECAMP shapes)
+_MAX_FUSED_KV = 4096  # beyond this, fall back to XLA
+# Measured on v5e (full ECAMP step, B=64): XLA's batched attention beats the
+# per-(batch*head) fused kernel at ECAMP's short sequences (463 vs 413
+# img/s) — each grid instance is a ~50x64 matmul, pure dispatch overhead.
+# The kernel pays off once the per-instance logits tile is MXU-sized, so
+# gate on Nq*Nk work. ECAMP_FLASH=1 forces it on for experiments.
+_MIN_FUSED_WORK = 512 * 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -45,8 +51,12 @@ def flash_supported(q, k, v, bias) -> bool:
         return False
     if q.ndim != 4 or k.ndim != 4 or v.ndim != 4:
         return False
-    nk = k.shape[-2]
+    nq, nk = q.shape[-2], k.shape[-2]
     if nk > _MAX_FUSED_KV:
+        return False
+    import os
+
+    if nq * nk < _MIN_FUSED_WORK and os.environ.get("ECAMP_FLASH") != "1":
         return False
     if bias is not None:
         # supported bias layouts: (B, 1, 1, Nk) key-padding bias or full

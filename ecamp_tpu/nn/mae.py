@@ -83,15 +83,15 @@ class ECAMP(nn.Module):
         outputs = {}
         if mask_ratio > 0:
             pred = self.image_decoder(latent, ids_restore, deterministic)
-            pred_img = unpatchify(pred.astype(jnp.float32), c.patch_size)
+            pred_img = unpatchify(pred.astype(self.dtype), c.patch_size)
             super_pred = SuperResolutionHead(self.sr_scale, c.in_chans,
-                                             dtype=self.dtype, name="super_res")(
-                pred_img.astype(self.dtype))
+                                             dtype=self.dtype,
+                                             name="super_res")(pred_img)
             pixel_mask, super_mask = mask_to_pixel(
                 mask, batch["column"], batch["row"], c.patch_size,
                 self.sr_scale, self.sr_window)
             mim_loss, res_loss = masked_pixel_losses(
-                pred_img, imgs, super_pred.astype(jnp.float32), big_imgs,
+                pred_img, imgs, super_pred, big_imgs,
                 pixel_mask, super_mask)
             outputs.update(mim_loss=mim_loss, res_loss=res_loss)
 
@@ -168,6 +168,5 @@ class ECAMP(nn.Module):
                 x, deterministic=deterministic)
         x = LayerNorm(dc.norm_eps, dtype=self.dtype, name="decoder_norm")(x)
         x = Dense(self.vit.patch_size ** 2 * self.vit.in_chans,
-                  dtype=jnp.float32, name="decoder_pred")(
-                      x.astype(jnp.float32))
+                  dtype=self.dtype, name="decoder_pred")(x)
         return x[:, 1:, :]

@@ -71,10 +71,17 @@ class PretrainTask:
     # -- step ----------------------------------------------------------
 
     def _loss_fn(self, params, batch, rng) -> Tuple[jnp.ndarray, Dict]:
+        # dropout uses the XLA hardware RNG (rbg): threefry bit generation
+        # for the ~20 dropout sites costs ~25 ms/step at B=64 on v5e
+        # (measured); rbg is effectively free. Masking keeps threefry for
+        # reproducible token selection.
+        seed = jax.random.randint(jax.random.fold_in(rng, 1), (), 0,
+                                  jnp.iinfo(jnp.int32).max)
+        dropout_key = jax.random.key(seed, impl="unsafe_rbg")
         out = self.model.apply(
             {"params": params}, batch, mask_ratio=self.cfg.mask_ratio,
             deterministic=False,
-            rngs={"masking": rng, "dropout": jax.random.fold_in(rng, 1)})
+            rngs={"masking": rng, "dropout": dropout_key})
         loss = out["mim_loss"] + out["res_loss"] + out["mlm_loss"]
         return loss, {"mim_loss": out["mim_loss"], "res_loss": out["res_loss"],
                       "mlm_loss": out["mlm_loss"]}

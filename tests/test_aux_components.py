@@ -1,0 +1,119 @@
+"""Tests: ResNet-50 det backbone, split tooling, presets, determinism,
+orbax round-trip, graft entry."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_resnet50_backbone_shapes():
+    from ecamp_tpu.nn.resnet import ResNet50Backbone
+
+    m = ResNet50Backbone(layers=(1, 1, 1, 1))  # tiny depth, same strides
+    x = jnp.zeros((1, 224, 224, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    c2, c3, c4 = m.apply(variables, x)
+    assert c2.shape == (1, 28, 28, 512)
+    assert c3.shape == (1, 14, 14, 1024)
+    assert c4.shape == (1, 7, 7, 2048)
+
+
+def test_split_tools(tmp_path):
+    from ecamp_tpu.data.split_tools import make_volume_splits
+
+    full = tmp_path / "train_list.txt"
+    full.write_text("".join(f"img_{i}.png {i % 2}\n" for i in range(200)))
+    written = make_volume_splits(str(full))
+    n1 = len(open(written[0]).readlines())
+    n10 = len(open(written[1]).readlines())
+    assert n1 == 2 and n10 == 20
+    # csv variant
+    import pandas as pd
+
+    csv = tmp_path / "train_list.csv"
+    pd.DataFrame({"image_path": [f"i{i}" for i in range(100)],
+                  "bbox": ["[[0,0,1,1]]"] * 100}).to_csv(csv, index=False)
+    from ecamp_tpu.data.split_tools import subset_csv
+
+    n = subset_csv(str(csv), str(tmp_path / "out.csv"), 0.1)
+    assert n == 10
+    assert len(pd.read_csv(tmp_path / "out.csv")) == 10
+
+
+def test_presets_registry():
+    from ecamp_tpu.core.presets import PRESETS, list_presets, preset_argv
+
+    names = list_presets()
+    # every run.sh recipe family present
+    assert "pretrain_mimic" in names
+    assert sum(n.startswith("cls_ft_") for n in names) == 12
+    assert sum(n.startswith("cls_lp_") for n in names) == 12
+    assert sum(n.startswith("seg_") for n in names) == 9
+    assert sum(n.startswith("det_") for n in names) == 3
+    argv = preset_argv("cls_lp_ChestX-ray14_1")
+    assert "--linear_probe" in argv and "--task" in argv
+
+
+def test_pretrain_step_deterministic():
+    """Same seed => bitwise-identical loss (SURVEY §5.2 determinism check)."""
+    from ecamp_tpu.core import config as cfg
+    from ecamp_tpu.core.mesh import make_mesh
+    from ecamp_tpu.train.pretrain import PretrainTask
+
+    tiny = cfg.PretrainConfig(
+        vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                          num_heads=2),
+        decoder=cfg.MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+        bert=cfg.BertConfig(vocab_size=64, hidden_size=32,
+                            num_hidden_layers=1, num_attention_heads=2,
+                            intermediate_size=64, max_position_embeddings=8),
+        data=cfg.DataConfig(img_size=64), mesh=cfg.MeshConfig(data=4),
+        sr_window=1, max_caption_length=8, bf16=False)
+
+    def run():
+        mesh = make_mesh(tiny.mesh, devices=jax.devices()[:4])
+        task = PretrainTask(tiny, mesh=mesh, steps_per_epoch=2)
+        state = task.init_state(jax.random.PRNGKey(7))
+        rng = np.random.default_rng(3)
+        batch = task.shard_batch({
+            "image": rng.normal(size=(4, 64, 64, 3)).astype(np.float32),
+            "ids": rng.integers(0, 64, (4, 8)).astype(np.int32),
+            "labels": rng.integers(0, 64, (4, 8)).astype(np.int32),
+            "attention_mask": np.ones((4, 8), np.int32),
+            "type_ids": np.zeros((4, 8), np.int32),
+            "weights": np.ones((4, 8), np.float32),
+            "column": np.zeros((4,), np.int32),
+            "row": np.zeros((4,), np.int32)})
+        losses = []
+        for _ in range(2):
+            state, m = task.train_step(state, batch, jax.random.PRNGKey(9))
+            losses.append(float(m["loss"]))
+        return losses
+
+    assert run() == run()
+
+
+def test_orbax_roundtrip(tmp_path):
+    from ecamp_tpu.ckpt import (latest_step, restore_checkpoint,
+                                save_checkpoint)
+
+    state = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "step": 5}
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 5, state)
+    assert latest_step(d) == 5
+    out = restore_checkpoint(d, template=state)
+    np.testing.assert_array_equal(out["params"]["w"], state["params"]["w"])
+    assert int(out["step"]) == 5
+
+
+def test_graft_entry_single():
+    """entry() must be jittable (tiny-compile smoke on CPU would be slow at
+    full size; we only validate the contract shape here)."""
+    import __graft_entry__ as ge
+
+    assert callable(ge.entry)
+    assert callable(ge.dryrun_multichip)
