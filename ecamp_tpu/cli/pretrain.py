@@ -95,6 +95,10 @@ def main():
 
     jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"),
                         enabled=jax.process_index() == 0)
+    from ..core.observability import SummaryWriter
+
+    tb = SummaryWriter(os.path.join(args.output_dir, "tb"),
+                       enabled=jax.process_index() == 0)
     ckpt_epochs = pretrain_ckpt_epochs(args.epochs)
     step_rng = jax.random.PRNGKey(args.seed + 1)
 
@@ -110,6 +114,10 @@ def main():
         record = {"epoch": epoch,
                   **{k: m.global_avg for k, m in logger.meters.items()}}
         jsonl.write(record)
+        for k in ("loss", "mim_loss", "res_loss", "mlm_loss", "lr"):
+            if k in logger.meters:
+                tb.add_scalar(f"train/{k}", logger.meters[k].global_avg, epoch)
+        tb.flush()
         if epoch in ckpt_epochs and jax.process_index() == 0:
             from ..ckpt import save_checkpoint
 

@@ -202,6 +202,7 @@ class PretrainReportDataset:
         self.attn_j = df_attn["label_j"].tolist()
         self.tokenizer = tokenizer or WordPieceTokenizer.from_file(
             os.path.join(data_root, "mimic_wordpiece.json"))
+        self.tokenizer.enable_native()
         self.transform = TrainTransform(img_size, mean=0.4721, std=0.3037,
                                         scale=(0.2, 1.0),
                                         interpolation="bicubic", seed=seed)
@@ -367,6 +368,45 @@ class RIGASegmentationDataset:
 
 # ---------------------------------------------------------------------------
 # detection
+
+
+class ObjectCXRDetectionDataset:
+    """Object-CXR foreign-object detection
+    (Detection/utils/my_dataset.py:106-209): CSV of image names under
+    <image_root>/resize/ with precomputed per-image label arrays
+    <name>.npy (rows [cls, cx, cy, w, h], padded)."""
+
+    def __init__(self, list_root: str, image_root: str, split: str,
+                 img_size: int = 224, data_volume: str = "100",
+                 max_objects: int = 20, mean: float = 0.4722,
+                 std: float = 0.3028):
+        import pandas as pd
+
+        names = {"train": {"1": "train_list_1.csv", "10": "train_list_10.csv",
+                           "100": "train_list.csv"}[data_volume],
+                 "val": "test_list.csv", "test": "test_list.csv"}
+        df = pd.read_csv(os.path.join(list_root, "ObjectCXR", names[split]))
+        df = df.sort_values(by="image_name")
+        self.image_dir = os.path.join(image_root, "resize")
+        self.names = df["image_name"].tolist()
+        self.img_size = img_size
+        self.max_objects = max_objects
+        self.mean, self.std = mean, std
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, i) -> Dict[str, np.ndarray]:
+        name = self.names[i]
+        img = np.asarray(_pil_load_rgb(os.path.join(self.image_dir, name)),
+                         np.float32)
+        img = _resize_img_linear(img, self.img_size)
+        img = normalize(img, self.mean, self.std)
+        y = np.load(os.path.join(self.image_dir, name + ".npy"))
+        out = np.zeros((self.max_objects, 5), np.float32)
+        n = min(len(y), self.max_objects)
+        out[:n] = y[:n, :5]
+        return {"image": img.astype(np.float32), "target": out}
 
 
 class RSNADetectionDataset:

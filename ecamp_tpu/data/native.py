@@ -60,7 +60,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
-        ctypes.c_float, ctypes.c_int32, ctypes.POINTER(ctypes.c_float)]
+        ctypes.c_float, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float)]
     _LIB = lib
     return lib
 
@@ -112,9 +113,11 @@ class NativeTokenizer:
 
 
 def resize_norm(src: np.ndarray, box, out_size: int, mean: float, std: float,
-                grayscale: bool = True) -> Optional[np.ndarray]:
-    """Fused crop-resize(bilinear)+grayscale+normalize. src: u8 HWC.
-    Returns f32 (out, out, 3) or None if the library is unavailable."""
+                grayscale: bool = True, filter: str = "bilinear"
+                ) -> Optional[np.ndarray]:
+    """Fused crop-resize (bilinear|bicubic, PIL semantics) + grayscale +
+    normalize. src: u8 HWC. Returns f32 (out, out, 3) or None if the
+    library is unavailable."""
     lib = load_library()
     if lib is None:
         return None
@@ -127,5 +130,6 @@ def resize_norm(src: np.ndarray, box, out_size: int, mean: float, std: float,
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
         float(x0), float(y0), float(x1), float(y1), out_size, out_size,
         float(mean), float(std), int(grayscale),
+        1 if filter == "bicubic" else 0,
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return dst

@@ -132,8 +132,30 @@ class WordPieceTokenizer:
                 tokens.extend(self.wordpiece(word))
         return tokens
 
+    def enable_native(self) -> bool:
+        """Attach the C++ fast path (exact parity on ASCII inputs;
+        non-ASCII strings transparently fall back to Python)."""
+        if getattr(self, "_native", None) is not None:
+            return True
+        try:
+            from .native import NativeTokenizer
+
+            self._native = NativeTokenizer(self)
+            return True
+        except Exception:
+            self._native = None
+            return False
+
     def encode(self, text: str, max_length: Optional[int] = None,
                pad_to: Optional[int] = None) -> Encoding:
+        native = getattr(self, "_native", None)
+        if native is not None and max_length is not None and pad_to is not None:
+            fast = native.encode(text, max_length, pad_to)
+            if fast is not None:
+                ids, attn = fast
+                return Encoding(ids=ids, attention_mask=attn,
+                                type_ids=np.zeros((pad_to,), np.int32),
+                                tokens=[])
         tokens = self.tokenize(text)
         if max_length is not None:
             tokens = tokens[:max_length]

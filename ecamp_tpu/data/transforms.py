@@ -29,11 +29,12 @@ def _interp(name: str):
             "nearest": Image.NEAREST}[name]
 
 
-def random_resized_crop(img: Image.Image, size: int, rng: random.Random,
-                        scale: Tuple[float, float] = (0.08, 1.0),
-                        ratio: Tuple[float, float] = (3 / 4, 4 / 3),
-                        interpolation: str = "bilinear") -> Image.Image:
-    width, height = img.size
+def sample_crop_box(width: int, height: int, rng: random.Random,
+                    scale: Tuple[float, float] = (0.08, 1.0),
+                    ratio: Tuple[float, float] = (3 / 4, 4 / 3)
+                    ) -> Tuple[int, int, int, int]:
+    """torchvision RandomResizedCrop box sampling (10 area/log-ratio draws
+    then clamped center fallback). Returns (x0, y0, x1, y1)."""
     area = width * height
     log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
     for _ in range(10):
@@ -44,9 +45,7 @@ def random_resized_crop(img: Image.Image, size: int, rng: random.Random,
         if 0 < w <= width and 0 < h <= height:
             i = rng.randint(0, height - h)
             j = rng.randint(0, width - w)
-            return img.resize((size, size), _interp(interpolation),
-                              box=(j, i, j + w, i + h))
-    # fallback: center crop at clamped aspect (torchvision semantics)
+            return (j, i, j + w, i + h)
     in_ratio = width / height
     if in_ratio < ratio[0]:
         w, h = width, int(round(width / ratio[0]))
@@ -56,8 +55,16 @@ def random_resized_crop(img: Image.Image, size: int, rng: random.Random,
         w, h = width, height
     i = (height - h) // 2
     j = (width - w) // 2
-    return img.resize((size, size), _interp(interpolation),
-                      box=(j, i, j + w, i + h))
+    return (j, i, j + w, i + h)
+
+
+def random_resized_crop(img: Image.Image, size: int, rng: random.Random,
+                        scale: Tuple[float, float] = (0.08, 1.0),
+                        ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+                        interpolation: str = "bilinear") -> Image.Image:
+    width, height = img.size
+    box = sample_crop_box(width, height, rng, scale, ratio)
+    return img.resize((size, size), _interp(interpolation), box=box)
 
 
 def center_crop_resize(img: Image.Image, size: int, resize_to: int,
@@ -85,19 +92,45 @@ def normalize(arr: np.ndarray, mean: float, std: float) -> np.ndarray:
 
 
 class TrainTransform:
-    """RandomResizedCrop + HFlip + Grayscale(3) + Normalize."""
+    """RandomResizedCrop + HFlip + Grayscale(3) + Normalize.
+
+    Uses the native fused crop-resize+grayscale+normalize kernel when the
+    C++ library is available (flip commutes with grayscale/normalize, so
+    it applies to the output array); PIL fallback otherwise.
+    """
 
     def __init__(self, size: int, mean: float, std: float,
                  scale: Tuple[float, float] = (0.08, 1.0),
-                 interpolation: str = "bilinear", seed: int = 0):
+                 interpolation: str = "bilinear", seed: int = 0,
+                 use_native: bool = True):
         self.size = size
         self.mean = mean
         self.std = std
         self.scale = scale
         self.interpolation = interpolation
         self.rng = random.Random(seed)
+        self.use_native = use_native
 
     def __call__(self, img: Image.Image) -> np.ndarray:
+        if self.use_native:
+            from . import native
+
+            box = sample_crop_box(img.size[0], img.size[1], self.rng,
+                                  self.scale)
+            flip = self.rng.random() < 0.5
+            out = native.resize_norm(np.asarray(img), box, self.size,
+                                     self.mean, self.std, grayscale=True,
+                                     filter=self.interpolation)
+            if out is not None:
+                return out[:, ::-1].copy() if flip else out
+            # library unavailable: finish this sample on the PIL path with
+            # the already-consumed rng draws
+            pil = img.resize((self.size, self.size),
+                             _interp(self.interpolation), box=box)
+            if flip:
+                pil = pil.transpose(Image.FLIP_LEFT_RIGHT)
+            return normalize(np.asarray(to_grayscale3(pil)), self.mean,
+                             self.std)
         img = random_resized_crop(img, self.size, self.rng, self.scale,
                                   interpolation=self.interpolation)
         if self.rng.random() < 0.5:

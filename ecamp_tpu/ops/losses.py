@@ -13,10 +13,18 @@ import jax.numpy as jnp
 
 
 def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Per-element CE, labels are int ids. logits (..., V) -> (...)."""
-    logz = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
-    gold = jnp.take_along_axis(logits.astype(jnp.float32),
-                               labels[..., None], axis=-1)[..., 0]
+    """Per-element CE, labels are int ids. logits (..., V) -> (...).
+
+    max/exp run in the logits dtype (bf16 under the training policy — the
+    30k-vocab logits tensor is ~1 GB/batch, so fp32 materialization would
+    double the dominant HBM stream); the sum and the final arithmetic
+    accumulate in fp32.
+    """
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    s = jnp.sum(jnp.exp(logits - m), axis=-1, dtype=jnp.float32)
+    logz = m[..., 0].astype(jnp.float32) + jnp.log(s)
+    gold = jnp.take_along_axis(logits, labels[..., None],
+                               axis=-1)[..., 0].astype(jnp.float32)
     return logz - gold
 
 

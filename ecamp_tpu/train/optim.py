@@ -88,14 +88,52 @@ def make_schedule(cfg: OptimizerConfig, steps_per_epoch: int = 1,
     raise ValueError(f"unknown schedule {cfg.schedule}")
 
 
+def layerwise_lr_scales(params, decay: float, num_layers: int):
+    """BEiT-style layer-wise lr decay scales (reference util/lr_decay.py:
+    15-75, defined-but-unused there; offered as a first-class option here).
+
+    Returns a pytree of float scales: embeddings/cls/pos at layer 0,
+    blocks_i at i+1, heads at num_layers+1; scale = decay^(L+1-layer_id).
+    """
+    import re
+
+    def layer_id(path) -> int:
+        keys = [str(getattr(k, "key", k)) for k in path]
+        for k in keys:
+            m = re.fullmatch(r"blocks_(\d+)", k)
+            if m:
+                return int(m.group(1)) + 1
+        if any(k in ("patch_embed", "cls_token", "pos_embed") for k in keys):
+            return 0
+        return num_layers + 1
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: decay ** (num_layers + 1 - layer_id(path)), params)
+
+
+def scale_by_layerwise_lr(scales) -> optax.GradientTransformation:
+    """Multiply updates by per-leaf lr scales (apply after the optimizer)."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return (jax.tree_util.tree_map(lambda u, s: u * s, updates, scales),
+                state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: OptimizerConfig, params=None,
                    steps_per_epoch: int = 1,
                    max_epoch: Optional[float] = None,
-                   freeze_mask=None) -> optax.GradientTransformation:
+                   freeze_mask=None,
+                   lr_scales=None) -> optax.GradientTransformation:
     """Build the optax chain. freeze_mask: pytree of bool, True = trainable
     (linear-probe / frozen-encoder modes; reference freezes via
     requires_grad_(False): Classification/train.py:156-159,
-    Segmentation/train.py:128-133)."""
+    Segmentation/train.py:128-133). lr_scales: optional per-leaf lr
+    multipliers (layerwise_lr_scales)."""
     sched = make_schedule(cfg, steps_per_epoch, max_epoch)
     if cfg.name == "adamw":
         tx = optax.adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1],
@@ -113,7 +151,10 @@ def make_optimizer(cfg: OptimizerConfig, params=None,
     pre = []
     if cfg.grad_clip:
         pre.append(optax.clip_by_global_norm(cfg.grad_clip))
-    tx = optax.chain(*pre, tx)
+    post = []
+    if lr_scales is not None:
+        post.append(scale_by_layerwise_lr(lr_scales))
+    tx = optax.chain(*pre, tx, *post)
 
     if freeze_mask is not None:
         tx = optax.multi_transform(

@@ -193,12 +193,23 @@ inline double triangle(double x) {
     return x < 1.0 ? 1.0 - x : 0.0;
 }
 
+inline double bicubic(double x) {
+    // PIL's cubic kernel, a = -0.5
+    constexpr double a = -0.5;
+    x = std::abs(x);
+    if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+    if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+    return 0.0;
+}
+
 FilterTaps compute_taps(int64_t in_size, int64_t out_size, double box0,
-                        double box1) {
+                        double box1, int32_t filter) {
     FilterTaps taps;
+    const double base_support = filter == 1 ? 2.0 : 1.0;
+    auto kernel = filter == 1 ? bicubic : triangle;
     const double scale = (box1 - box0) / static_cast<double>(out_size);
     const double filterscale = std::max(scale, 1.0);
-    const double support = 1.0 * filterscale;  // bilinear support = 1
+    const double support = base_support * filterscale;
     taps.ksize = static_cast<int32_t>(std::ceil(support)) * 2 + 1;
     taps.bounds.resize(static_cast<size_t>(out_size) * 2);
     taps.weights.assign(static_cast<size_t>(out_size) * taps.ksize, 0.0);
@@ -211,7 +222,7 @@ FilterTaps compute_taps(int64_t in_size, int64_t out_size, double box0,
         float* w = &taps.weights[static_cast<size_t>(x) * taps.ksize];
         double total = 0.0;
         for (int64_t j = 0; j < xmax; ++j) {
-            double val = triangle((j + xmin - center + 0.5) / filterscale);
+            double val = kernel((j + xmin - center + 0.5) / filterscale);
             w[j] = val;
             total += val;
         }
@@ -230,9 +241,9 @@ void ecamp_resize_norm(const uint8_t* src, int64_t sh, int64_t sw,
                        double box_x0, double box_y0, double box_x1,
                        double box_y1, int64_t oh, int64_t ow,
                        float mean, float std_, int32_t grayscale,
-                       float* dst) {
-    const FilterTaps hx = compute_taps(sw, ow, box_x0, box_x1);
-    const FilterTaps vy = compute_taps(sh, oh, box_y0, box_y1);
+                       int32_t filter, float* dst) {
+    const FilterTaps hx = compute_taps(sw, ow, box_x0, box_x1, filter);
+    const FilterTaps vy = compute_taps(sh, oh, box_y0, box_y1, filter);
     const float inv_std = 1.0f / std_;
     const int64_t c_in = channels;
 
