@@ -205,24 +205,51 @@ class BertEmbeddings(nn.Module):
         return nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
 
 
+class _VocabProjection(nn.Module):
+    """Vocab decoder with Dense-compatible param names (kernel/bias) that
+    can hand its weights to the fused projection+CE Pallas kernel."""
+
+    vocab_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, return_weights: bool = False):
+        d = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                            (d, self.vocab_size), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.vocab_size,), jnp.float32)
+        if return_weights:
+            return kernel.astype(self.dtype), bias
+        return (x @ kernel.astype(self.dtype)
+                + bias.astype(self.dtype))
+
+
 class MLMHead(nn.Module):
-    """HF BertOnlyMLMHead: transform (dense+gelu+LN) + decoder to vocab."""
+    """HF BertOnlyMLMHead: transform (dense+gelu+LN) + decoder to vocab.
+
+    With return_features=True, returns (features, decoder_kernel,
+    decoder_bias) so the caller can run the fused vocab-projection+CE
+    Pallas kernel (the 30k-way projection is the largest matmul in the
+    pretrain step, ~11.8 GF/sample) instead of materializing logits.
+    """
 
     cfg: BertConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_features: bool = False):
         c = self.cfg
         x = Dense(c.hidden_size, dtype=self.dtype, name="transform_dense")(x)
         x = jax.nn.gelu(x, approximate=False)
         x = LayerNorm(c.layer_norm_eps, dtype=self.dtype,
                       name="transform_LayerNorm")(x)
-        # The 30k-way vocab projection is the single largest matmul in the
-        # pretrain step (2*L*D*V ≈ 11.8 GF/sample) — keep it in compute
-        # dtype (bf16 on the MXU, fp32 accumulation); the CE's logsumexp
-        # runs fp32 downstream (ops.losses.softmax_cross_entropy).
-        return Dense(c.vocab_size, dtype=self.dtype, name="decoder")(x)
+        proj = _VocabProjection(c.vocab_size, dtype=self.dtype,
+                                name="decoder")
+        if return_features:
+            kernel, bias = proj(x, return_weights=True)
+            return x, kernel, bias
+        return proj(x)
 
 
 class MultimodalBert(nn.Module):
@@ -238,7 +265,8 @@ class MultimodalBert(nn.Module):
     @nn.compact
     def __call__(self, latent, gap_token, input_ids, attention_mask=None,
                  token_type_ids=None, deterministic: bool = True,
-                 return_cross_probs: bool = False):
+                 return_cross_probs: bool = False,
+                 return_mlm_features: bool = False):
         c = self.cfg
         text_bias = None
         if attention_mask is not None:
@@ -255,7 +283,8 @@ class MultimodalBert(nn.Module):
         for i in range(c.num_hidden_layers):
             h = BertLayer(c, dtype=self.dtype, name=f"layer_{i}")(
                 h, bias=text_bias, deterministic=deterministic)
-        logits = MLMHead(c, dtype=self.dtype, name="cls")(h)
+        out = MLMHead(c, dtype=self.dtype, name="cls")(
+            h, return_features=return_mlm_features)
         if return_cross_probs:
-            return logits, cross_probs
-        return logits
+            return out, cross_probs
+        return out

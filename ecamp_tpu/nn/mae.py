@@ -69,6 +69,12 @@ class ECAMP(nn.Module):
         return jnp.asarray(
             get_2d_sincos_pos_embed(dim, grid, cls_token=True))[None]
 
+    @staticmethod
+    def _fused_ce_available() -> bool:
+        from ..kernels.fused_mlm_loss import fused_supported
+
+        return fused_supported()
+
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], mask_ratio: float = 0.75,
                  deterministic: bool = False,
@@ -100,22 +106,34 @@ class ECAMP(nn.Module):
                     name="bert_mlp")(latent)
         gap_token = lat[:, 1:, :].mean(axis=1, keepdims=True)
         patch_latent = lat[:, 1:, :]
+        has_loss = "labels" in batch and "weights" in batch
+        use_fused = (has_loss and not return_cross_probs
+                     and self._fused_ce_available())
         bert_out = MultimodalBert(self.bert, dtype=self.dtype,
                                   name="bert")(
             patch_latent, gap_token, batch["ids"],
             attention_mask=batch.get("attention_mask"),
             token_type_ids=batch.get("type_ids"),
             deterministic=deterministic,
-            return_cross_probs=return_cross_probs)
+            return_cross_probs=return_cross_probs,
+            return_mlm_features=use_fused)
         if return_cross_probs:
-            logits, cross_probs = bert_out
-            outputs["cross_attention"] = cross_probs
+            bert_out, outputs["cross_attention"] = bert_out
+        if use_fused:
+            from ..kernels.fused_mlm_loss import fused_mlm_loss_sum
+
+            feats, kernel, bias = bert_out
+            n, L, d = feats.shape
+            outputs["mlm_loss"] = fused_mlm_loss_sum(
+                feats.reshape(n * L, d), kernel, bias,
+                batch["labels"].reshape(-1),
+                batch["weights"].reshape(-1)) / (n * L)
         else:
             logits = bert_out
-        outputs["mlm_logits"] = logits
-        if "labels" in batch and "weights" in batch:
-            outputs["mlm_loss"] = weighted_mlm_loss(
-                logits, batch["labels"], batch["weights"])
+            outputs["mlm_logits"] = logits
+            if has_loss:
+                outputs["mlm_loss"] = weighted_mlm_loss(
+                    logits, batch["labels"], batch["weights"])
         return outputs
 
     def image_encoder(self, x, mask_ratio: float, deterministic: bool):
