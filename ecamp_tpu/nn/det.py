@@ -185,19 +185,28 @@ class YoloV3Head(nn.Module):
 
 
 class DetectionModel(nn.Module):
-    """Full detector: ViT backbone + neck + YOLOv3 head. Outputs NCHW maps
-    ((B, 18, 7, 7), (B, 18, 14, 14), (B, 18, 28, 28)) to match the
-    reference loss/decode layout."""
+    """Full detector: ViT (default) or ResNet-50 backbone + neck + YOLOv3
+    head (reference baseline path, detector_backbone_resnet.py). Outputs
+    NCHW maps ((B, 18, 7, 7), (B, 18, 14, 14), (B, 18, 28, 28)) to match
+    the reference loss/decode layout."""
 
     cfg: ViTConfig
     num_classes: int = 1
     expansion: int = 4
+    backbone: str = "vit"  # vit | resnet50
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, deterministic: bool = True):
-        x2, x1, x0 = ViTDetector(self.cfg, self.expansion, dtype=self.dtype,
-                                 name="backbone")(x, train, deterministic)
+        if self.backbone == "resnet50":
+            from .resnet import ResNet50Backbone
+
+            x2, x1, x0 = ResNet50Backbone(dtype=self.dtype,
+                                          name="backbone")(x, train)
+        else:
+            x2, x1, x0 = ViTDetector(self.cfg, self.expansion,
+                                     dtype=self.dtype, name="backbone")(
+                x, train, deterministic)
         outs = YoloV3Head(self.num_classes, dtype=self.dtype, name="head")(
             x2, x1, x0, train)
         return tuple(jnp.transpose(o, (0, 3, 1, 2)) for o in outs)

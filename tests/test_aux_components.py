@@ -117,3 +117,57 @@ def test_graft_entry_single():
 
     assert callable(ge.entry)
     assert callable(ge.dryrun_multichip)
+
+
+def test_detection_resnet_backbone_variant():
+    from ecamp_tpu.core.config import ViTConfig
+    from ecamp_tpu.nn.det import DetectionModel
+
+    m = DetectionModel(ViTConfig(img_size=224, embed_dim=64, depth=1,
+                                 num_heads=2), backbone="resnet50")
+    x = jnp.zeros((1, 224, 224, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    o0, o1, o2 = m.apply(v, x)
+    assert o0.shape == (1, 18, 7, 7)
+    assert o2.shape == (1, 18, 28, 28)
+
+
+def test_pretrain_grad_accum_on_mesh():
+    """MultiSteps accumulation under the sharded jit: params update only
+    every accum_steps microbatches (reference accum_iter semantics,
+    main_pretrain.py:137-153)."""
+    from ecamp_tpu.core import config as cfg
+    from ecamp_tpu.core.mesh import make_mesh
+    from ecamp_tpu.train.pretrain import PretrainTask
+
+    tiny = cfg.PretrainConfig(
+        vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                          num_heads=2),
+        decoder=cfg.MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+        bert=cfg.BertConfig(vocab_size=64, hidden_size=32,
+                            num_hidden_layers=1, num_attention_heads=2,
+                            intermediate_size=64, max_position_embeddings=8),
+        # constant lr: the epoch-cosine warmup starts at lr=0, which would
+        # make the first applied update a no-op and mask the accum check
+        optimizer=cfg.OptimizerConfig(accum_steps=2, schedule="constant",
+                                      lr=1e-3),
+        data=cfg.DataConfig(img_size=64), mesh=cfg.MeshConfig(data=4),
+        sr_window=1, max_caption_length=8, bf16=False)
+    mesh = make_mesh(tiny.mesh, devices=jax.devices()[:4])
+    task = PretrainTask(tiny, mesh=mesh, steps_per_epoch=2)
+    state = task.init_state(jax.random.PRNGKey(0))
+    p0 = np.asarray(state.params["cls_token"])
+    rng = np.random.default_rng(3)
+    batch = task.shard_batch({
+        "image": rng.normal(size=(4, 64, 64, 3)).astype(np.float32),
+        "ids": rng.integers(0, 64, (4, 8)).astype(np.int32),
+        "labels": rng.integers(0, 64, (4, 8)).astype(np.int32),
+        "attention_mask": np.ones((4, 8), np.int32),
+        "type_ids": np.zeros((4, 8), np.int32),
+        "weights": np.ones((4, 8), np.float32),
+        "column": np.zeros((4,), np.int32),
+        "row": np.zeros((4,), np.int32)})
+    state, _ = task.train_step(state, batch, jax.random.PRNGKey(9))
+    assert np.allclose(np.asarray(state.params["cls_token"]), p0)  # accum
+    state, _ = task.train_step(state, batch, jax.random.PRNGKey(9))
+    assert not np.allclose(np.asarray(state.params["cls_token"]), p0)  # applied
