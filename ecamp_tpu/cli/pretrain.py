@@ -40,6 +40,7 @@ def get_args():
     p.add_argument("--mask_ratio", type=float, default=0.75)
     p.add_argument("--accum_iter", type=int, default=1)
     p.add_argument("--input_size", type=int, default=448)
+    p.add_argument("--max_caption_length", type=int, default=256)
     p.add_argument("--norm_pix_loss", action="store_true",
                    help="parsed for parity; unused on the loss path, "
                         "exactly like the reference (model_ecamp.py:100)")
@@ -52,6 +53,7 @@ def main():
     setup_output(args.output_dir, args)
 
     dataset = PretrainReportDataset(args.data_path, img_size=args.input_size,
+                                    max_caption_length=args.max_caption_length,
                                     seed=args.seed)
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=True,
                         seed=args.seed, num_workers=args.num_workers,
@@ -68,7 +70,8 @@ def main():
         data=cfg.DataConfig(img_size=args.input_size,
                             batch_size=args.batch_size),
         mask_ratio=args.mask_ratio, epochs=args.epochs,
-        max_epoch=args.max_epoch, bf16=not args.no_bf16, seed=args.seed)
+        max_epoch=args.max_epoch, bf16=not args.no_bf16, seed=args.seed,
+        max_caption_length=args.max_caption_length)
 
     task = PretrainTask(pconf, steps_per_epoch=steps_per_epoch)
     rng = jax.random.PRNGKey(args.seed)

@@ -53,8 +53,11 @@ def get_args():
 
 def main():
     args = get_args()
+    vit_cfg = cfg.ViTConfig()
+    bert_cfg = cfg.BertConfig()
+    max_len = bert_cfg.max_position_embeddings
     tok = WordPieceTokenizer.from_file(args.tokenizer)
-    enc = tok.encode("[CLS] " + args.text, max_length=256, pad_to=256)
+    enc = tok.encode("[CLS] " + args.text, max_length=max_len, pad_to=max_len)
 
     with open(args.image, "rb") as f:
         pil = Image.open(f).convert("RGB")
@@ -65,8 +68,8 @@ def main():
         Image.fromarray(origin[:, :, 0], "L").save(args.save_original)
     img = normalize(origin, 0.4722, 0.3028)[None]
 
-    model = ECAMP(vit=cfg.ViTConfig(), decoder=cfg.MAEDecoderConfig(),
-                  bert=cfg.BertConfig(), dtype=jnp.float32)
+    model = ECAMP(vit=vit_cfg, decoder=cfg.MAEDecoderConfig(),
+                  bert=bert_cfg, dtype=jnp.float32)
     batch = {
         # the viz path feeds 224 directly (no SR target); model resizes
         # 224 -> 224, a no-op
@@ -84,9 +87,10 @@ def main():
 
     out = model.apply(variables, batch, mask_ratio=0.0, deterministic=True,
                       return_cross_probs=True)
-    # (1, H, L_text, 196) -> token row -> (H, 14, 14)
+    # (1, H, L_text, grid^2) -> token row -> (H, grid, grid)
     attn = np.asarray(out["cross_attention"])[0, :, args.token_index]
-    attn = attn.reshape(attn.shape[0], 14, 14)
+    grid = int(round(attn.shape[-1] ** 0.5))
+    attn = attn.reshape(attn.shape[0], grid, grid)
     amap = attn.max(axis=0) ** 0.25
     amap = (amap - amap.min()) / (amap.max() - amap.min() + 1e-12)
     amap = np.asarray(jax.image.resize(jnp.asarray(amap)[None, :, :, None],
