@@ -80,6 +80,44 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def tp_param_spec(path, leaf, model_axis: str = "model"):
+    """Megatron-style tensor-parallel PartitionSpec for one param leaf.
+
+    Column-parallel (output dim sharded): MLP fc1, fused qkv, BERT
+    query/key/value, intermediate dense, vocab decoder. Row-parallel
+    (input dim sharded): MLP fc2, attention out-proj, BERT output dense.
+    Everything else replicated. XLA/GSPMD inserts the all-reduces when the
+    step is jitted over a mesh with a non-trivial model axis (the
+    reference is DP-only — SURVEY §2.9 — this is the growth hook).
+    """
+    keys = [str(getattr(k, "key", k)) for k in path]
+    name = keys[-2] if len(keys) >= 2 else ""
+    leaf_name = keys[-1]
+    if leaf_name == "kernel" and getattr(leaf, "ndim", 0) == 2:
+        if name in ("fc1", "qkv", "query", "key", "value", "decoder") or \
+                (name == "dense" and len(keys) >= 3
+                 and keys[-3] == "intermediate"):
+            return P(None, model_axis)
+        if name in ("fc2", "proj") or \
+                (name == "dense" and len(keys) >= 3
+                 and keys[-3] in ("output", "out_layer")):
+            return P(model_axis, None)
+    if leaf_name == "bias" and name in ("fc1", "qkv", "query", "key",
+                                        "value", "decoder"):
+        return P(model_axis)
+    return P()
+
+
+def shard_params_tp(mesh: Mesh, params):
+    """Place a param tree with tensor-parallel shardings over the model
+    axis (no-op layout when the model axis has size 1)."""
+    def put(path, x):
+        spec = tp_param_spec(path, x, mesh.axis_names[1])
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)
+
+
 @functools.lru_cache(maxsize=None)
 def cpu_test_mesh(n: int = 8) -> Mesh:
     """n-device mesh for CPU multi-device tests (SURVEY §4c)."""

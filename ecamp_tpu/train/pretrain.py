@@ -64,7 +64,16 @@ class PretrainTask:
             from ..ckpt import import_ecamp_pretrain
 
             variables, loaded, _ = import_ecamp_pretrain(variables, pretrained)
-        state = TrainState.create(variables["params"], self.tx)
+        params = variables["params"]
+        if self.mesh.shape.get(self.mesh.axis_names[1], 1) > 1:
+            # tensor-parallel layout over the model axis (optax state
+            # inherits the param shardings through tx.init under jit)
+            from ..core.mesh import shard_params_tp
+
+            params = shard_params_tp(self.mesh, params)
+            state = TrainState.create(params, self.tx)
+            return state
+        state = TrainState.create(params, self.tx)
         repl = replicated_sharding(self.mesh)
         return jax.device_put(state, repl)
 
