@@ -151,3 +151,46 @@ def test_visualize_cli_e2e(tmp_path, monkeypatch, capsys):
     assert os.path.exists(out_png)
     arr = np.asarray(Image.open(out_png))
     assert arr.shape == (224, 224, 3)
+
+
+def test_pretrain_cli_resume(toy_mimic, tmp_path, monkeypatch, capsys):
+    """Orbax resume path: second invocation restores step/opt state and
+    continues from the saved epoch (util/misc.py:315-338 parity)."""
+    from ecamp_tpu.cli import pretrain
+    from ecamp_tpu.core import config as cfg
+
+    out = tmp_path / "out"
+    tiny_kw = dict(
+        vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                          num_heads=2),
+        decoder=cfg.MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+        bert=cfg.BertConfig(vocab_size=32, hidden_size=32,
+                            num_hidden_layers=1, num_attention_heads=2,
+                            intermediate_size=64, max_position_embeddings=16),
+        sr_window=1, max_caption_length=16)
+    orig = cfg.PretrainConfig
+
+    def tiny_config(**kw):
+        merged = dict(tiny_kw)
+        merged.update({k: v for k, v in kw.items() if k not in merged})
+        return orig(**merged)
+
+    monkeypatch.setattr(cfg, "PretrainConfig", tiny_config)
+    monkeypatch.setattr(pretrain.cfg, "PretrainConfig", tiny_config)
+
+    base = ["pretrain", "--data_path", str(toy_mimic),
+            "--batch_size", "8", "--max_epoch", "4",
+            "--warmup_epochs", "1", "--input_size", "64",
+            "--max_caption_length", "16", "--num_workers", "2",
+            "--output_dir", str(out), "--no_bf16", "--print_freq", "1"]
+    monkeypatch.setattr(sys, "argv", base + ["--epochs", "1"])
+    pretrain.main()
+    ckpt_dir = str(out / "ckpt")
+    assert os.path.isdir(ckpt_dir)
+    # resume for 2 more epochs
+    monkeypatch.setattr(sys, "argv",
+                        base + ["--epochs", "3", "--resume", ckpt_dir])
+    pretrain.main()
+    log = (out / "log.txt").read_text().strip().splitlines()
+    epochs = [json.loads(l)["epoch"] for l in log]
+    assert epochs == [0, 1, 2]  # run 1 wrote epoch 0; resume wrote 1,2
