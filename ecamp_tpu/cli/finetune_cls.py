@@ -52,8 +52,9 @@ def get_args():
     p.add_argument("--img_size", type=int, default=224)
     p.add_argument("--model", default="base",
                    choices=["tiny", "base", "large", "huge"])
-    p.add_argument("--ratio", type=float, default=0.875,
-                   help="eval center-crop ratio (Resize(img/ratio))")
+    p.add_argument("--ratio", type=float, default=1.0,
+                   help="eval center-crop ratio (Resize(img/ratio)); "
+                        "reference default 1 (train.py:574)")
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--warmup_steps", type=int, default=500)
