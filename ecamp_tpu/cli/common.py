@@ -5,11 +5,9 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import time
 from typing import Optional
 
 import jax
-import numpy as np
 
 
 def add_common_args(p: argparse.ArgumentParser):

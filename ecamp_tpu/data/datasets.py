@@ -21,14 +21,14 @@ import ast
 import math
 import os
 import random
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
 
 from .entity_masking import build_text_example
 from .tokenizer import WordPieceTokenizer
-from .transforms import EvalTransform, TrainTransform, normalize
+from .transforms import TrainTransform, normalize
 
 
 def _pil_load_rgb(path: str) -> Image.Image:

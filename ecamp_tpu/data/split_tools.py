@@ -8,7 +8,7 @@ file, stratified-free random folds with a fixed seed.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image

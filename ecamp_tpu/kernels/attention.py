@@ -12,7 +12,6 @@ kernel buys nothing, and when attention probabilities must be materialized
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -18,7 +18,6 @@ semantics. XLA fallback used on CPU.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

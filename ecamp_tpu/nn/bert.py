@@ -21,8 +21,6 @@ Attention runs through the shared Pallas/XLA dispatch (kernels.attention).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ Classification/models_vit.py:60-98 — pre-LN, fused qkv with bias, exact
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax

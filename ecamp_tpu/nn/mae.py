@@ -20,7 +20,7 @@ no-grad parameters — equivalent numerics, no optimizer masking needed.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import flax.linen as nn
 import jax

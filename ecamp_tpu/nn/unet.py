@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.image_ops import upsample_nearest
-from .resnet import ResNet50Backbone, _Bottleneck
+from .resnet import _Bottleneck
 
 
 class _DecoderBlock(nn.Module):

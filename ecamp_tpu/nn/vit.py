@@ -13,8 +13,6 @@ models_vit.py:90-93) or norm+cls-token (:95-96).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

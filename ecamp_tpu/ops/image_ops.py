@@ -8,7 +8,7 @@ step) and match torch's non-antialiased kernels.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ quirks included — SURVEY §2.1), with fp32 accumulation.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ boxes per image, so this does not measurably change training.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import jax

@@ -8,7 +8,7 @@ BCE-with-logits for multilabel tasks vs CE for single-label
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ NMS/mAP host-side (tiny N).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ ops.boxes.average_precision.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 import numpy as np
 

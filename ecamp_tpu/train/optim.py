@@ -10,7 +10,7 @@ grad accumulation (main_pretrain.py:137-153) via optax.MultiSteps.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
