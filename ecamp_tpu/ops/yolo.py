@@ -23,10 +23,14 @@ _LOG_CLAMP = -100.0
 
 
 def _bce(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    p = p.astype(jnp.float32)
+    # clip keeps p in the normal fp32 range (a denormal epsilon gets
+    # flushed to zero on some backends -> log(0) grad = inf * 0 = NaN) and
+    # zeroes the gradient at the clamp, mirroring torch BCELoss's -100
+    # log clamp.
+    p = jnp.clip(p.astype(jnp.float32), 1e-12, 1.0 - 1e-7)
     t = t.astype(jnp.float32)
-    logp = jnp.maximum(jnp.log(jnp.maximum(p, 0.0) + 1e-38), _LOG_CLAMP)
-    log1mp = jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 0.0) + 1e-38), _LOG_CLAMP)
+    logp = jnp.maximum(jnp.log(p), _LOG_CLAMP)
+    log1mp = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
     return jnp.mean(-(t * logp + (1.0 - t) * log1mp))
 
 
