@@ -110,6 +110,26 @@ def main():
         from ..ckpt import save_checkpoint
 
         step, epoch = 0, 0
+        if args.resume:
+            # step-indexed re-entry (Detection/train.py:176-182,411-416):
+            # reload the best checkpoint and fast-forward the step counter;
+            # the LR schedule picks up at the restored step automatically.
+            from ..ckpt import latest_step, restore_checkpoint
+
+            best_step = latest_step(args.resume)
+            if best_step is not None:
+                restored = restore_checkpoint(
+                    args.resume, best_step,
+                    template={"params": state.params,
+                              "batch_stats": state.batch_stats})
+                import jax.numpy as jnp
+
+                state = state.replace(params=restored["params"],
+                                      batch_stats=restored["batch_stats"],
+                                      step=jnp.asarray(best_step, jnp.int32))
+                step = int(best_step)
+                epoch = step // max(1, len(make_ds("train")) // args.batch_size or 1)
+                print(f"resumed from step {step}")
         logger = MetricLogger()
         while step < args.num_steps and not stopper.should_stop:
             train_loader.set_epoch(epoch)
