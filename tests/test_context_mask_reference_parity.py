@@ -21,23 +21,34 @@ REF_TOK = "/root/reference/ECAMP/Pre-training/dataset/mimic_wordpiece.json"
 def ref_module():
     if not (os.path.exists(REF_DS) and os.path.exists(REF_TOK)):
         pytest.skip("reference tree unavailable")
-    # stub modules the test environment lacks (read-only import; we only
-    # execute _context_mask, which touches none of the stubs)
-    for name in ("ipdb",):
-        sys.modules.setdefault(name, types.ModuleType(name))
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tr = types.ModuleType("torchvision.transforms")
-        trf = types.ModuleType("torchvision.transforms.functional")
-        trf.InterpolationMode = types.SimpleNamespace(BICUBIC=3)
-        tr.functional = trf
-        tv.transforms = tr
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tr
-        sys.modules["torchvision.transforms.functional"] = trf
-    spec = importlib.util.spec_from_file_location("ref_pretrain_ds", REF_DS)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    # stub modules the test environment lacks ONLY for the duration of the
+    # import (a lingering fake torchvision breaks transformers' capability
+    # probing in other tests); the loaded module keeps its own references.
+    stubs = {}
+    stubs["ipdb"] = types.ModuleType("ipdb")
+    tv = types.ModuleType("torchvision")
+    tr = types.ModuleType("torchvision.transforms")
+    trf = types.ModuleType("torchvision.transforms.functional")
+    trf.InterpolationMode = types.SimpleNamespace(BICUBIC=3)
+    tr.functional = trf
+    tv.transforms = tr
+    stubs["torchvision"] = tv
+    stubs["torchvision.transforms"] = tr
+    stubs["torchvision.transforms.functional"] = trf
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update({k: v for k, v in stubs.items()
+                        if saved[k] is None})
+    try:
+        spec = importlib.util.spec_from_file_location("ref_pretrain_ds",
+                                                      REF_DS)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = old
     return mod
 
 
