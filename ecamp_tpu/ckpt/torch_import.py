@@ -230,3 +230,150 @@ def import_detector(variables, ckpt_path: str, from_pretrain: bool = True,
         return key
 
     return _apply_state(variables, state, pm, verbose)
+
+
+# ---------------------------------------------------------------------------
+# optimizer-state import (reference resume semantics, util/misc.py:331-338)
+
+_BUFFER_SUFFIXES = ("position_ids", "token_type_ids", "running_mean",
+                    "running_var", "num_batches_tracked")
+
+
+def _optimizer_param_order(model_state: Dict[str, np.ndarray]):
+    """Reconstruct the torch AdamW param-index order of the reference
+    pretrain run: timm optim_factory.add_weight_decay partitions
+    named_parameters into [no_decay (ndim<=1 or .bias), decay], group 0
+    first (main_pretrain.py:253), and torch assigns state indices by
+    enumerating groups in order.
+
+    Exclusions mirror what named_parameters(requires_grad) yields for the
+    reference model: buffers; the frozen sincos pos embeddings
+    (model_ecamp.py:64,78 requires_grad=False); and the HF-tied
+    cls.predictions.decoder.bias duplicate of cls.predictions.bias
+    (state_dict carries both, named_parameters deduplicates)."""
+    names = []
+    for k, v in model_state.items():
+        if k.endswith(_BUFFER_SUFFIXES):
+            continue
+        if np.issubdtype(np.asarray(v).dtype, np.integer):
+            continue
+        if k in ("pos_embed", "decoder_pos_embed"):
+            continue
+        if (k.endswith("cls.predictions.decoder.bias")
+                and k[:-len("decoder.bias")] + "bias" in model_state):
+            continue
+        names.append(k)
+    no_decay = [n for n in names
+                if np.asarray(model_state[n]).ndim <= 1 or n.endswith(".bias")]
+    nd = set(no_decay)
+    decay = [n for n in names if n not in nd]
+    return no_decay + decay, len(no_decay), len(decay)
+
+
+def _map_adam_states(obj, fn):
+    """Recursively rewrite every optax ScaleByAdamState inside an opt-state
+    pytree (works through chains, masks and MultiSteps wrappers)."""
+    import optax
+
+    if isinstance(obj, optax.ScaleByAdamState):
+        return fn(obj)
+    if isinstance(obj, tuple) and hasattr(obj, "_fields"):  # NamedTuple
+        return type(obj)(*(_map_adam_states(v, fn) for v in obj))
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_map_adam_states(v, fn) for v in obj)
+    if isinstance(obj, dict):
+        return {k: _map_adam_states(v, fn) for k, v in obj.items()}
+    return obj
+
+
+def import_ecamp_adamw_state(opt_state, params_template, ckpt,
+                             verbose: bool = False):
+    """Restore torch AdamW moments (exp_avg/exp_avg_sq/step) from a
+    reference pretrain checkpoint into an optax adamw opt-state.
+
+    The reference restores optimizer + scaler when resuming its own
+    checkpoints (util/misc.py:331-338); round 1 resumed params only,
+    losing the moments. Moments transform with the same layout rules as
+    the weights (transpose for Linear kernels, OIHW->HWIO for convs) —
+    both are per-element statistics in the weight's coordinate system.
+
+    Args:
+      opt_state: the task's initialized opt-state (tx.init(params)).
+      params_template: the flax params tree ('params' collection).
+      ckpt: loaded checkpoint dict with 'model' + 'optimizer' keys.
+
+    Returns (new_opt_state, n_loaded_moments, torch_step).
+    """
+    import jax.numpy as jnp
+
+    opt_sd = ckpt["optimizer"]
+    model_state = _get_model_state(ckpt)
+    model_state = {k.replace("cross_attn_layer", "context_fusion_layer"): v
+                   for k, v in model_state.items()}
+    order, n_nd, n_d = _optimizer_param_order(model_state)
+    groups = opt_sd.get("param_groups", [])
+    if groups:
+        sizes = [len(g.get("params", [])) for g in groups]
+        if sizes != [n_nd, n_d]:
+            raise ValueError(
+                f"optimizer param-group sizes {sizes} do not match the "
+                f"reconstructed [no_decay={n_nd}, decay={n_d}] partition — "
+                "not a reference-format AdamW checkpoint")
+    torch_state = opt_sd.get("state", {})
+    idx_of = {name: i for i, name in enumerate(order)}
+    # cross-check: every indexed moment must match its param's shape
+    for name, i in idx_of.items():
+        st = torch_state.get(i) or torch_state.get(str(i))
+        if st is not None and "exp_avg" in st:
+            if tuple(np.shape(st["exp_avg"])) != tuple(
+                    np.shape(model_state[name])):
+                raise ValueError(
+                    f"moment shape mismatch at index {i} ({name}): "
+                    f"{np.shape(st['exp_avg'])} vs "
+                    f"{np.shape(model_state[name])}")
+
+    def pm(key: str) -> str:  # same namespace map as import_ecamp_pretrain
+        if key.startswith("bert.cls."):
+            return "bert_encoder.model." + key[len("bert."):]
+        if key.startswith("bert."):
+            return "bert_encoder.model.bert." + key[len("bert."):]
+        return key
+
+    flat_params = flatten(params_template)
+    mu_flat, nu_flat = {}, {}
+    n_loaded = 0
+    steps = []
+    for path, leaf in flat_params.items():
+        torch_key = pm(_default_key_fn(path))
+        if (torch_key not in idx_of
+                and torch_key.endswith("cls.predictions.decoder.bias")):
+            # tied HF param: moments live under cls.predictions.bias
+            torch_key = torch_key[:-len("decoder.bias")] + "bias"
+        st = None
+        if torch_key in idx_of:
+            i = idx_of[torch_key]
+            st = torch_state.get(i) or torch_state.get(str(i))
+        if st is not None and "exp_avg" in st:
+            mu_flat[path] = jnp.asarray(
+                _convert(path[-1], st["exp_avg"], np.shape(leaf)))
+            nu_flat[path] = jnp.asarray(
+                _convert(path[-1], st["exp_avg_sq"], np.shape(leaf)))
+            n_loaded += 1
+            s = st.get("step", 0)
+            steps.append(int(np.asarray(s).item()
+                             if hasattr(s, "item") or np.ndim(s) == 0
+                             else s))
+        else:
+            mu_flat[path] = jnp.zeros_like(leaf)
+            nu_flat[path] = jnp.zeros_like(leaf)
+            if verbose:
+                print(f"optimizer: no moments for {'/'.join(path)}")
+    mu = unflatten(mu_flat)
+    nu = unflatten(nu_flat)
+    step = max(steps) if steps else 0
+
+    def replace(adam):
+        return adam._replace(count=jnp.asarray(step, jnp.int32),
+                             mu=mu, nu=nu)
+
+    return _map_adam_states(opt_state, replace), n_loaded, step

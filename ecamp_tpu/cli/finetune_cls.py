@@ -63,6 +63,8 @@ def get_args():
     p.add_argument("--linear_probe", action="store_true")
     p.add_argument("--patience", type=int, default=20)
     p.add_argument("--eval_batch_size", type=int, default=128)
+    p.add_argument("--max_grad_norm", type=float, default=1.0,
+                   help="global grad-norm clip, every step (Classification/train.py:459,555); <=0 disables")
     p.add_argument("--stage", default="train", choices=["train", "test"])
     return p.parse_args()
 
@@ -82,6 +84,9 @@ def evaluate(task: ClassificationTask, state, loader) -> dict:
 
 
 def main():
+    from ..core.mesh import initialize_distributed
+
+    initialize_distributed()  # before any backend query (misc.py:216-248 parity)
     args = get_args()
     setup_output(args.output_dir, args)
     list_path = args.list_path or args.dataset_path
@@ -97,7 +102,8 @@ def main():
             momentum=0.9,
             schedule=("warmup_cosine_step" if args.decay_type == "cosine"
                       else "warmup_linear_step"),
-            warmup_steps=args.warmup_steps, total_steps=args.num_steps),
+            warmup_steps=args.warmup_steps, total_steps=args.num_steps,
+            grad_clip=(args.max_grad_norm if args.max_grad_norm > 0 else None)),
         task=args.task, num_classes=num_classes, is_multilabel=multilabel,
         linear_probe=args.linear_probe, patience=args.patience,
         bf16=not args.no_bf16, seed=args.seed)

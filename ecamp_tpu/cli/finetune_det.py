@@ -40,6 +40,8 @@ def get_args():
     p.add_argument("--patience", type=int, default=20)
     p.add_argument("--eval_batch_size", type=int, default=64)
     p.add_argument("--conf_threshold", type=float, default=0.5)
+    p.add_argument("--max_grad_norm", type=float, default=1.0,
+                   help="global grad-norm clip, every step (Detection/train.py:483,559); <=0 disables")
     p.add_argument("--nms_threshold", type=float, default=0.5)
     p.add_argument("--start_eval", type=int, default=1,
                    help="skip eval before this epoch (train.py --start_eval)")
@@ -73,6 +75,9 @@ def evaluate(task: DetectionTask, state, loader, img_size: int) -> float:
 
 
 def main():
+    from ..core.mesh import initialize_distributed
+
+    initialize_distributed()  # before any backend query (misc.py:216-248 parity)
     args = get_args()
     setup_output(args.output_dir, args)
     list_path = args.list_path or args.dataset_path
@@ -83,7 +88,8 @@ def main():
         optimizer=cfg.OptimizerConfig(
             name="adamw", lr=args.lr, weight_decay=args.weight_decay,
             betas=(0.9, 0.999), schedule="warmup_cosine_step",
-            warmup_steps=args.warmup_steps, total_steps=args.num_steps),
+            warmup_steps=args.warmup_steps, total_steps=args.num_steps,
+            grad_clip=(args.max_grad_norm if args.max_grad_norm > 0 else None)),
         img_size=args.img_size, expansion=expansion,
         conf_threshold=args.conf_threshold, nms_threshold=args.nms_threshold,
         patience=args.patience, bf16=not args.no_bf16, seed=args.seed)

@@ -43,6 +43,8 @@ def get_args():
     p.add_argument("--num_steps", type=int, default=3000)
     p.add_argument("--patience", type=int, default=40)
     p.add_argument("--eval_batch_size", type=int, default=64)
+    p.add_argument("--max_grad_norm", type=float, default=1.0,
+                   help="global grad-norm clip, every step (Segmentation/train.py:388,465); <=0 disables")
     p.add_argument("--no_freeze_encoder", action="store_true")
     p.add_argument("--stage", default="train", choices=["train", "test"])
     return p.parse_args()
@@ -66,6 +68,9 @@ def evaluate(task: SegmentationTask, state, loader) -> float:
 
 
 def main():
+    from ..core.mesh import initialize_distributed
+
+    initialize_distributed()  # before any backend query (misc.py:216-248 parity)
     args = get_args()
     setup_output(args.output_dir, args)
     list_path = args.list_path or args.dataset_path
@@ -76,7 +81,8 @@ def main():
         optimizer=cfg.OptimizerConfig(
             name="adamw", lr=args.lr, weight_decay=args.weight_decay,
             betas=(0.9, 0.999), schedule="warmup_cosine_step",
-            warmup_steps=args.warmup_steps, total_steps=args.num_steps),
+            warmup_steps=args.warmup_steps, total_steps=args.num_steps,
+            grad_clip=(args.max_grad_norm if args.max_grad_norm > 0 else None)),
         task=args.task, freeze_encoder=not args.no_freeze_encoder,
         patience=args.patience, bf16=not args.no_bf16, seed=args.seed,
         data=cfg.DataConfig(img_size=args.img_size))

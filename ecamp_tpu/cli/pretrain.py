@@ -44,10 +44,17 @@ def get_args():
                    help="parsed for parity; unused on the loss path, "
                         "exactly like the reference (model_ecamp.py:100)")
     p.add_argument("--print_freq", type=int, default=20)
+    p.add_argument("--resume_optimizer", action="store_true",
+                   help="force optimizer-moment restore from a .pth resume "
+                        "even when the filename does not look like a "
+                        "reference ECAMP checkpoint")
     return p.parse_args()
 
 
 def main():
+    from ..core.mesh import initialize_distributed
+
+    initialize_distributed()  # before any backend query (misc.py:216-248 parity)
     args = get_args()
     setup_output(args.output_dir, args)
 
@@ -81,6 +88,28 @@ def main():
     if args.resume:
         if args.resume.endswith(".pth"):
             state = task.init_state(rng, pretrained=args.resume)
+            # The reference restores optimizer + epoch when resuming its
+            # OWN checkpoints (path starts './ECAMP', util/misc.py:331-338)
+            # and leaves the optimizer cold for MAE-init. Mirror the gate
+            # on the filename (reference saves 'checkpoint-<epoch>.pth',
+            # misc.py:295-312), overridable with --resume_optimizer.
+            base = os.path.basename(args.resume)
+            if args.resume_optimizer or base.startswith(("ECAMP",
+                                                         "checkpoint")):
+                from ..ckpt.torch_import import (import_ecamp_adamw_state,
+                                                 load_pth)
+
+                ckpt = load_pth(args.resume)
+                if isinstance(ckpt, dict) and "optimizer" in ckpt:
+                    new_opt, n, tstep = import_ecamp_adamw_state(
+                        state.opt_state, state.params, ckpt)
+                    state = state.replace(opt_state=new_opt)
+                    print(f"restored AdamW moments for {n} params "
+                          f"(torch step {tstep})")
+                    if "epoch" in ckpt:
+                        start_epoch = int(ckpt["epoch"]) + 1
+                        state = state.replace(
+                            step=np.int32(start_epoch * steps_per_epoch))
         else:
             from ..ckpt import latest_step, restore_checkpoint
 

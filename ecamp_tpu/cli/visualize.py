@@ -52,6 +52,9 @@ def get_args():
 
 
 def main():
+    from ..core.mesh import initialize_distributed
+
+    initialize_distributed()  # before any backend query (misc.py:216-248 parity)
     args = get_args()
     vit_cfg = cfg.ViTConfig()
     bert_cfg = cfg.BertConfig()

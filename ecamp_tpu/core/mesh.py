@@ -19,18 +19,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .config import MeshConfig
 
 
-def initialize_distributed() -> None:
-    """Multi-host bootstrap. Equivalent of misc.init_distributed_mode
-    (util/misc.py:216-248); safe no-op in single-process runs."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
-    try:
-        import os
+_dist_initialized = False
 
-        if "JAX_COORDINATOR_ADDRESS" in os.environ:
-            jax.distributed.initialize()
-    except Exception:
-        pass
+
+def initialize_distributed(force: bool = False) -> None:
+    """Multi-host bootstrap — the reference's init_distributed_mode
+    (util/misc.py:216-248) detects OMPI / RANK+WORLD_SIZE / SLURM env vars
+    and NCCL-inits; here one jax.distributed.initialize() call wires every
+    host to the coordinator and XLA collectives ride ICI/DCN.
+
+    MUST be called before any backend query (jax.devices / process_count /
+    device_put) — every CLI entry point calls this first. Single-process
+    runs (none of the env families present) are a no-op.
+
+    Env contract:
+      JAX_COORDINATOR_ADDRESS [+ JAX_NUM_PROCESSES, JAX_PROCESS_ID] —
+        explicit bootstrap, the 'RANK and WORLD_SIZE in os.environ' branch
+        of misc.py:222-226;
+      OMPI_COMM_WORLD_SIZE>1 / SLURM_NTASKS>1 — auto-detected (JAX's own
+        cluster detection fills the parameters), the misc.py:227-233
+        branches;
+      force=True — initialize unconditionally (TPU-pod auto-detection).
+    """
+    global _dist_initialized
+    if _dist_initialized:
+        return
+    import os
+
+    env = os.environ
+    explicit = env.get("JAX_COORDINATOR_ADDRESS")
+    auto = (int(env.get("OMPI_COMM_WORLD_SIZE", "1")) > 1
+            or int(env.get("SLURM_NTASKS", "1")) > 1)
+    if not (force or explicit or auto):
+        return
+    kwargs = {}
+    if explicit:
+        kwargs["coordinator_address"] = explicit
+        if "JAX_NUM_PROCESSES" in env:
+            kwargs["num_processes"] = int(env["JAX_NUM_PROCESSES"])
+        if "JAX_PROCESS_ID" in env:
+            kwargs["process_id"] = int(env["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    _dist_initialized = True
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None,

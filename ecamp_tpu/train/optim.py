@@ -135,6 +135,19 @@ def make_optimizer(cfg: OptimizerConfig, params=None,
     Segmentation/train.py:128-133). lr_scales: optional per-leaf lr
     multipliers (layerwise_lr_scales)."""
     sched = make_schedule(cfg, steps_per_epoch, max_epoch)
+    if cfg.accum_steps > 1 and cfg.schedule == "warmup_cosine_epoch":
+        # Under MultiSteps the inner schedule advances once per optimizer
+        # UPDATE, but the reference keys this schedule to fractional *data*
+        # epochs, i.e. micro-steps / len(loader) (main_pretrain.py:136-138:
+        # adjust_learning_rate(data_iter_step / len(data_loader) + epoch) at
+        # each accumulation-cycle start). Rescale so inner update u applies
+        # the LR of its cycle-start micro-step u*accum. Step-based schedules
+        # are NOT rescaled: the reference steps those once per optimizer
+        # update (Classification/train.py:463 scheduler.step() inside the
+        # accumulation gate).
+        inner = sched
+        accum = cfg.accum_steps
+        sched = lambda u: inner(u * accum)
     if cfg.name == "adamw":
         tx = optax.adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1],
                          weight_decay=cfg.weight_decay,

@@ -101,7 +101,13 @@ class PretrainTask:
             (loss, aux), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True)(state.params, batch, rng)
             new_state = state.replace(tx=self.tx).apply_gradients(grads)
-            aux = dict(aux, loss=loss, lr=self.schedule(state.step))
+            # log the lr the optimizer actually APPLIES: under grad
+            # accumulation the update covering this micro-step uses the
+            # schedule value at its cycle-start micro-step (reference
+            # main_pretrain.py:136-138 adjusts lr when iter % accum == 0)
+            accum = max(1, self.cfg.optimizer.accum_steps)
+            applied = (state.step // accum) * accum
+            aux = dict(aux, loss=loss, lr=self.schedule(applied))
             return new_state, aux
 
         return jax.jit(step_fn, donate_argnums=(0,))

@@ -171,3 +171,59 @@ def test_pretrain_grad_accum_on_mesh():
     assert np.allclose(np.asarray(state.params["cls_token"]), p0)  # accum
     state, _ = task.train_step(state, batch, jax.random.PRNGKey(9))
     assert not np.allclose(np.asarray(state.params["cls_token"]), p0)  # applied
+
+
+def test_initialize_distributed_env_bootstrap():
+    """initialize_distributed must wire jax.distributed from env vars
+    BEFORE any backend query (reference util/misc.py:216-248). Runs in a
+    subprocess with an explicit single-process coordinator env."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    code = (
+        "import os\n"
+        "from ecamp_tpu.core.mesh import initialize_distributed\n"
+        "initialize_distributed()\n"
+        "import jax\n"
+        "assert jax.process_count() == 1, jax.process_count()\n"
+        "from jax._src import distributed as dist_mod\n"
+        "assert dist_mod.global_state.client is not None, 'not initialized'\n"
+        "assert dist_mod.global_state.coordinator_address is not None\n"
+        "print('BOOTSTRAP_OK')\n")
+    import os
+
+    env = dict(os.environ,
+               JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+               JAX_NUM_PROCESSES="1", JAX_PROCESS_ID="0",
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert "BOOTSTRAP_OK" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_initialize_distributed_single_process_noop():
+    """Without any multi-process env the bootstrap must not touch
+    jax.distributed (and must not crash)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from ecamp_tpu.core.mesh import initialize_distributed\n"
+        "initialize_distributed()\n"
+        "from jax._src import distributed as dist_mod\n"
+        "assert dist_mod.global_state.client is None\n"
+        "print('NOOP_OK')\n")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_COORDINATOR_ADDRESS", "OMPI_COMM_WORLD_SIZE",
+                        "SLURM_NTASKS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert "NOOP_OK" in out.stdout, (out.stdout, out.stderr)

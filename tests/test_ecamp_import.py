@@ -177,3 +177,97 @@ def test_visualization_rename_convention(tiny_variables, tmp_path):
     torch.save({"model": sd}, path)
     _, loaded, missing = import_ecamp_pretrain(tiny_variables, path)
     assert missing == []
+
+
+def test_adamw_moment_restore(tiny_variables, tmp_path):
+    """Optimizer-state resume (util/misc.py:331-338): torch AdamW
+    exp_avg/exp_avg_sq/step must land in the optax ScaleByAdamState with
+    the same layout transforms as the weights."""
+    import optax
+
+    from ecamp_tpu.ckpt.torch_import import (_map_adam_states,
+                                             _optimizer_param_order,
+                                             import_ecamp_adamw_state,
+                                             load_pth)
+    from ecamp_tpu.core.config import OptimizerConfig
+    from ecamp_tpu.train.optim import make_optimizer
+
+    g = torch.Generator().manual_seed(2)
+    sd = _reference_state_dict(g)
+    # realism: a buffer and the frozen sincos embeddings must be excluded
+    # from the index reconstruction (named_parameters vs state_dict)
+    sd["bert_encoder.model.bert.embeddings.position_ids"] = \
+        torch.arange(16).unsqueeze(0)
+    model_state = {k: v.numpy() for k, v in sd.items()}
+    order, n_nd, n_d = _optimizer_param_order(model_state)
+    assert "bert_encoder.model.bert.embeddings.position_ids" not in order
+    assert "pos_embed" not in order and "decoder_pos_embed" not in order
+    assert "bert_encoder.model.cls.predictions.decoder.bias" not in order
+    assert "bert_encoder.model.cls.predictions.bias" in order
+
+    # synthesize the torch AdamW state dict exactly as torch would save it
+    opt_sd = {"state": {}, "param_groups": [
+        {"params": list(range(n_nd)), "weight_decay": 0.0},
+        {"params": list(range(n_nd, n_nd + n_d)), "weight_decay": 0.05}]}
+    for i, name in enumerate(order):
+        t = sd[name]
+        opt_sd["state"][i] = {
+            "step": torch.tensor(123.0),
+            "exp_avg": torch.full_like(t, float(i)),
+            "exp_avg_sq": torch.full_like(t, float(i) + 0.5)}
+    # one non-constant moment to verify the Linear transpose
+    de = order.index("decoder_embed.weight")
+    opt_sd["state"][de]["exp_avg"] = torch.arange(
+        32 * 64, dtype=torch.float32).reshape(32, 64)
+
+    path = str(tmp_path / "ECAMP_resume.pth")
+    torch.save({"model": sd, "optimizer": opt_sd, "epoch": 7}, path)
+
+    params = tiny_variables["params"]
+    tx = make_optimizer(OptimizerConfig(name="adamw", lr=1.5e-4,
+                                        betas=(0.9, 0.95), weight_decay=0.05,
+                                        schedule="constant"))
+    opt_state = tx.init(params)
+    new_opt, n_loaded, step = import_ecamp_adamw_state(opt_state, params,
+                                                       load_pth(path))
+    assert step == 123
+    assert n_loaded > 50  # nearly all leaves carry moments
+
+    found = {}
+    _map_adam_states(new_opt, lambda a: found.update(adam=a) or a)
+    adam = found["adam"]
+    assert int(adam.count) == 123
+    # scalar index spot-checks
+    ct = order.index("cls_token")
+    np.testing.assert_allclose(np.asarray(adam.mu["cls_token"]),
+                               np.full((1, 1, 64), float(ct)))
+    np.testing.assert_allclose(np.asarray(adam.nu["cls_token"]),
+                               np.full((1, 1, 64), float(ct) + 0.5))
+    # transpose check: torch (out,in)=(32,64) -> flax kernel (64,32)
+    np.testing.assert_allclose(
+        np.asarray(adam.mu["decoder_embed"]["kernel"]),
+        np.arange(32 * 64, dtype=np.float32).reshape(32, 64).T)
+    # tied MLM-head bias: moments come from cls.predictions.bias
+    pb = order.index("bert_encoder.model.cls.predictions.bias")
+    np.testing.assert_allclose(
+        np.asarray(adam.mu["bert"]["cls"]["decoder"]["bias"]),
+        np.full((128,), float(pb)))
+
+    # training continues from the restored moments without error
+    upd, _ = tx.update(jax.tree_util.tree_map(jnp.ones_like, params),
+                       new_opt, params)
+    assert all(np.isfinite(np.asarray(u)).all()
+               for u in jax.tree_util.tree_leaves(upd))
+
+
+def test_adamw_moment_restore_rejects_mismatched_groups(tiny_variables,
+                                                        tmp_path):
+    from ecamp_tpu.ckpt.torch_import import import_ecamp_adamw_state
+
+    g = torch.Generator().manual_seed(3)
+    sd = _reference_state_dict(g)
+    ckpt = {"model": {k: v.numpy() for k, v in sd.items()},
+            "optimizer": {"state": {}, "param_groups": [
+                {"params": [0, 1], "weight_decay": 0.0}]}}
+    with pytest.raises(ValueError, match="param-group"):
+        import_ecamp_adamw_state(None, tiny_variables["params"], ckpt)
