@@ -89,7 +89,11 @@ def main():
     initialize_distributed()  # before any backend query (misc.py:216-248 parity)
     args = get_args()
     setup_output(args.output_dir, args)
-    list_path = args.list_path or args.dataset_path
+    from ..data.assets import resolve_list_root
+
+    list_path = resolve_list_root(args.list_path, args.dataset_path,
+                                  "Classification",
+                                  f"{args.task}/test_list.txt")
     num_classes, multilabel = TASKS[args.task]
 
     tt = TrainTransform(args.img_size, 0.4722, 0.3028, seed=args.seed)

@@ -80,7 +80,10 @@ def main():
     initialize_distributed()  # before any backend query (misc.py:216-248 parity)
     args = get_args()
     setup_output(args.output_dir, args)
-    list_path = args.list_path or args.dataset_path
+    from ..data.assets import resolve_list_root
+
+    list_path = resolve_list_root(args.list_path, args.dataset_path,
+                                  "Detection", "RSNA/test_list.csv")
     expansion = 8 if args.data_volume in ("1", "10") else 4  # train.py:136
 
     dcfg = cfg.DetectionConfig(

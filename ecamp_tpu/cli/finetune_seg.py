@@ -73,7 +73,11 @@ def main():
     initialize_distributed()  # before any backend query (misc.py:216-248 parity)
     args = get_args()
     setup_output(args.output_dir, args)
-    list_path = args.list_path or args.dataset_path
+    from ..data.assets import resolve_list_root
+
+    list_path = resolve_list_root(args.list_path, args.dataset_path,
+                                  "Segmentation",
+                                  f"{args.task}/test_list.csv")
     ds_cls = DATASETS[args.task]
 
     scfg = cfg.SegmentationConfig(

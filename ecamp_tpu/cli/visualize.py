@@ -74,9 +74,10 @@ def main():
     model = ECAMP(vit=vit_cfg, decoder=cfg.MAEDecoderConfig(),
                   bert=bert_cfg, dtype=jnp.float32)
     batch = {
-        # the viz path feeds 224 directly (no SR target); model resizes
-        # 224 -> 224, a no-op
-        "image": jnp.asarray(np.repeat(np.repeat(img, 2, 1), 2, 2)),
+        # feed 224 directly — the model skips the 448->224 resize for
+        # inputs already at encoder resolution, matching the reference viz
+        # forward (Visualization/module/model_ecamp.py:308-319)
+        "image": jnp.asarray(img),
         "ids": jnp.asarray(enc.ids)[None],
         "attention_mask": jnp.asarray(enc.attention_mask)[None],
         "type_ids": jnp.asarray(enc.type_ids)[None],

@@ -81,7 +81,13 @@ class ECAMP(nn.Module):
                  return_cross_probs: bool = False):
         c = self.vit
         big_imgs = batch["image"].astype(self.dtype)  # (N, 448, 448, 3)
-        imgs = resize_bicubic(big_imgs, (c.img_size, c.img_size))
+        if big_imgs.shape[1] == c.img_size and big_imgs.shape[2] == c.img_size:
+            # already at encoder resolution: feed directly, exactly like the
+            # visualization forward (Visualization/module/model_ecamp.py:
+            # 308-319 takes the 224 image with no resize)
+            imgs = big_imgs
+        else:
+            imgs = resize_bicubic(big_imgs, (c.img_size, c.img_size))
 
         latent, mask, ids_restore, ids_keep = self.image_encoder(
             imgs, mask_ratio, deterministic)

@@ -194,3 +194,45 @@ def test_pretrain_cli_resume(toy_mimic, tmp_path, monkeypatch, capsys):
     log = (out / "log.txt").read_text().strip().splitlines()
     epochs = [json.loads(l)["epoch"] for l in log]
     assert epochs == [0, 1, 2]  # run 1 wrote epoch 0; resume wrote 1,2
+
+
+def test_encoder_resolution_input_skips_resize(monkeypatch):
+    """The viz path feeds the image at encoder resolution and must reach
+    the patch embed untouched — the reference viz forward has no resize
+    (Visualization/module/model_ecamp.py:308-319). Inputs above encoder
+    resolution still go through the bicubic downsample (model_ecamp.py:318)."""
+    import jax
+    import jax.numpy as jnp
+
+    import ecamp_tpu.nn.mae as mae_mod
+    from ecamp_tpu.core.config import BertConfig, MAEDecoderConfig, ViTConfig
+
+    model = mae_mod.ECAMP(
+        vit=ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                      num_heads=2),
+        decoder=MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+        bert=BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=64,
+                        max_position_embeddings=8),
+        sr_window=1)
+
+    def batch(size):
+        return {
+            "image": jnp.zeros((1, size, size, 3)),
+            "ids": jnp.zeros((1, 8), jnp.int32),
+            "attention_mask": jnp.ones((1, 8), jnp.int32),
+            "type_ids": jnp.zeros((1, 8), jnp.int32),
+        }
+
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch(32),
+                           mask_ratio=0.0, deterministic=True)
+
+    def boom(*a, **kw):
+        raise AssertionError("resize_bicubic called for a no-op resize")
+
+    monkeypatch.setattr(mae_mod, "resize_bicubic", boom)
+    out = model.apply(variables, batch(32), mask_ratio=0.0,
+                      deterministic=True, return_cross_probs=True)
+    assert out["cross_attention"].shape == (1, 2, 8, 4)
+    with pytest.raises(AssertionError, match="resize_bicubic"):
+        model.apply(variables, batch(64), mask_ratio=0.0, deterministic=True)
