@@ -195,10 +195,23 @@ def import_vit_classifier(variables, ckpt_path: str, verbose: bool = False):
 
 
 def import_seg_vit(variables, ckpt_path: str, from_pretrain: bool = True,
-                   verbose: bool = False):
+                   verbose: bool = False, flavor: str = "ecamp"):
     """Convention 3: pretrain keys match `encoder.`-stripped SegViT keys.
-    With from_pretrain=False, load a fine-tuned SegViT state dict."""
+    With from_pretrain=False, load a fine-tuned SegViT state dict.
+
+    flavor follows the RIGA baseline branches (train_RIGA.py:110-138):
+      'ecamp' (default) — checkpoint['model'], key1 == key2 minus
+        'encoder.';
+      'gloria' — checkpoint['state_dict'], ckpt keys additionally carry a
+        'gloria.img_encoder.model.' prefix that is stripped before the
+        same match. ('random' never reaches the importer: the trainer
+        skips loading entirely.)
+    """
     state = _get_model_state(load_pth(ckpt_path))
+    if flavor == "gloria":
+        pre = "gloria.img_encoder.model."
+        state = {k[len(pre):]: v for k, v in state.items()
+                 if k.startswith(pre)}
 
     def pm(key: str) -> Optional[str]:
         if key.startswith("encoder.trunk."):

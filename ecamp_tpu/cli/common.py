@@ -23,11 +23,37 @@ def add_common_args(p: argparse.ArgumentParser):
     return p
 
 
-def setup_output(output_dir: str, args: argparse.Namespace):
+def setup_output(output_dir: str, args: argparse.Namespace,
+                 snapshot_source: bool = True):
+    """Create the run dir and record provenance, mirroring the reference's
+    main_pretrain.py:214-216,258: args dumped both as JSON and YAML
+    (config.yaml), plus a source snapshot of the framework into
+    <output_dir>/code/ so a run is reproducible from its artifacts alone."""
     os.makedirs(output_dir, exist_ok=True)
-    if jax.process_index() == 0:
-        with open(os.path.join(output_dir, "args.json"), "w") as f:
-            json.dump({k: str(v) for k, v in vars(args).items()}, f, indent=2)
+    if jax.process_index() != 0:
+        return
+    kv = {k: v if isinstance(v, (int, float, bool, type(None))) else str(v)
+          for k, v in vars(args).items()}
+    with open(os.path.join(output_dir, "args.json"), "w") as f:
+        json.dump({k: str(v) for k, v in kv.items()}, f, indent=2)
+    with open(os.path.join(output_dir, "config.yaml"), "w") as f:
+        for k in sorted(kv):
+            v = kv[k]
+            if isinstance(v, str):
+                v = "'" + v.replace("'", "''") + "'"
+            elif v is None:
+                v = "null"
+            f.write(f"{k}: {v}\n")
+    if snapshot_source:
+        import shutil
+
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(output_dir, "code", "ecamp_tpu")
+        if not os.path.exists(dst):
+            shutil.copytree(
+                pkg_root, dst,
+                ignore=shutil.ignore_patterns("__pycache__", "*.pyc", "*.so",
+                                              "assets"))
 
 
 def pretrain_ckpt_epochs(epochs: int, mid_every: int = 10, late_every: int = 5):

@@ -16,6 +16,7 @@ import numpy as np
 from ..core import config as cfg
 
 _VIT_FACTORY = {"tiny": cfg.vit_tiny, "base": cfg.vit_base,
+                "base_singlechannel": cfg.vit_base_singlechannel,
                 "large": cfg.vit_large, "huge": cfg.vit_huge}
 from ..core.metrics import JsonlLogger, MetricLogger
 from ..data.datasets import ClassificationListDataset
@@ -51,7 +52,7 @@ def get_args():
                         "(defaults to dataset_path)")
     p.add_argument("--img_size", type=int, default=224)
     p.add_argument("--model", default="base",
-                   choices=["tiny", "base", "large", "huge"])
+                   choices=sorted(_VIT_FACTORY))
     p.add_argument("--ratio", type=float, default=1.0,
                    help="eval center-crop ratio (Resize(img/ratio)); "
                         "reference default 1 (train.py:574)")

@@ -17,6 +17,7 @@ import numpy as np
 from ..core import config as cfg
 
 _VIT_FACTORY = {"tiny": cfg.vit_tiny, "base": cfg.vit_base,
+                "base_singlechannel": cfg.vit_base_singlechannel,
                 "large": cfg.vit_large, "huge": cfg.vit_huge}
 from ..core.metrics import JsonlLogger, MetricLogger
 from ..data.datasets import RSNADetectionDataset
@@ -32,7 +33,7 @@ def get_args():
     p.add_argument("--list_path", default="")
     p.add_argument("--img_size", type=int, default=224)
     p.add_argument("--model", default="base",
-                   choices=["tiny", "base", "large", "huge"])
+                   choices=sorted(_VIT_FACTORY))
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--weight_decay", type=float, default=1e-6)
     p.add_argument("--warmup_steps", type=int, default=50)

@@ -16,6 +16,7 @@ import numpy as np
 from ..core import config as cfg
 
 _VIT_FACTORY = {"tiny": cfg.vit_tiny, "base": cfg.vit_base,
+                "base_singlechannel": cfg.vit_base_singlechannel,
                 "large": cfg.vit_large, "huge": cfg.vit_huge}
 from ..core.metrics import JsonlLogger, MetricLogger
 from ..data.datasets import (RIGASegmentationDataset, RSNASegmentationDataset,
@@ -36,7 +37,7 @@ def get_args():
     p.add_argument("--list_path", default="")
     p.add_argument("--img_size", type=int, default=224)
     p.add_argument("--model", default="base",
-                   choices=["tiny", "base", "large", "huge"])
+                   choices=sorted(_VIT_FACTORY))
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--warmup_steps", type=int, default=50)
@@ -46,6 +47,9 @@ def get_args():
     p.add_argument("--max_grad_norm", type=float, default=1.0,
                    help="global grad-norm clip, every step (Segmentation/train.py:388,465); <=0 disables")
     p.add_argument("--no_freeze_encoder", action="store_true")
+    p.add_argument("--name", default="ecamp",
+                   choices=["ecamp", "gloria", "random"],
+                   help="pretrained-checkpoint convention for RIGA baselines (train_RIGA.py:110-138); random skips loading")
     p.add_argument("--stage", default="train", choices=["train", "test"])
     return p.parse_args()
 
@@ -93,7 +97,8 @@ def main():
 
     task = SegmentationTask(scfg)
     state = task.init_state(jax.random.PRNGKey(args.seed),
-                            pretrained=args.pretrained)
+                            pretrained=args.pretrained,
+                            flavor=args.name)
     ckpt_dir = os.path.join(os.path.abspath(args.output_dir), "best")
     jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
 

@@ -58,9 +58,16 @@ def main():
     args = get_args()
     setup_output(args.output_dir, args)
 
+    if args.no_bf16:
+        image_dtype = np.float32
+    else:
+        import ml_dtypes
+
+        # halve H2D bytes; bit-identical (model casts to bf16 first anyway)
+        image_dtype = ml_dtypes.bfloat16
     dataset = PretrainReportDataset(args.data_path, img_size=args.input_size,
                                     max_caption_length=args.max_caption_length,
-                                    seed=args.seed)
+                                    seed=args.seed, image_dtype=image_dtype)
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=True,
                         seed=args.seed, num_workers=args.num_workers,
                         process_index=jax.process_index(),
@@ -133,14 +140,24 @@ def main():
     ckpt_epochs = pretrain_ckpt_epochs(args.epochs)
     step_rng = jax.random.PRNGKey(args.seed + 1)
 
+    from ..core.mesh import prefetch_to_device
+
     for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
         logger = MetricLogger()
-        for batch in logger.log_every(iter(loader), args.print_freq,
-                                      header=f"Epoch [{epoch}]"):
-            sharded = task.shard_batch(batch)
+        # double-buffered H2D prefetch + one step in flight: the float()
+        # sync of step N's metrics happens AFTER step N+1 is dispatched,
+        # so host logging never stalls the device
+        pending = None
+        for sharded in logger.log_every(
+                prefetch_to_device(iter(loader), task.mesh),
+                args.print_freq, header=f"Epoch [{epoch}]"):
             state, metrics = task.train_step(state, sharded, step_rng)
-            logger.update(**{k: float(v) for k, v in metrics.items()})
+            if pending is not None:
+                logger.update(**{k: float(v) for k, v in pending.items()})
+            pending = metrics
+        if pending is not None:
+            logger.update(**{k: float(v) for k, v in pending.items()})
         logger.synchronize_between_processes()
         record = {"epoch": epoch,
                   **{k: m.global_avg for k, m in logger.meters.items()}}

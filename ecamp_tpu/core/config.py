@@ -50,6 +50,13 @@ def vit_base(**kw) -> ViTConfig:
     return ViTConfig(embed_dim=768, depth=12, num_heads=12, **kw)
 
 
+def vit_base_singlechannel(**kw) -> ViTConfig:
+    """vit_base_patch16_singlechannel (models_vit.py:131-136): ViT-B with
+    in_chans=1; unused by the published recipes but part of the factory
+    surface."""
+    return ViTConfig(embed_dim=768, depth=12, num_heads=12, in_chans=1, **kw)
+
+
 def vit_large(**kw) -> ViTConfig:
     return ViTConfig(embed_dim=1024, depth=24, num_heads=16, **kw)
 

@@ -105,6 +105,25 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
+    """Double-buffered sharded host->device transfer.
+
+    jax.device_put is asynchronous: issuing the transfer of batch N+1
+    while the device computes step N hides H2D latency entirely. This
+    replaces the reference's synchronous per-step .cuda() copies
+    (model_ecamp.py:312-317) and the round-1 per-step shard_batch call.
+    """
+    import collections
+
+    buf = collections.deque()
+    for b in iterator:
+        buf.append(shard_batch(mesh, b))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def replicate(mesh: Mesh, tree):
     sh = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -187,7 +187,12 @@ class PretrainReportDataset:
 
     def __init__(self, data_root: str, img_size: int = 448,
                  max_caption_length: int = 256, seed: int = 0,
-                 tokenizer: Optional[WordPieceTokenizer] = None):
+                 tokenizer: Optional[WordPieceTokenizer] = None,
+                 image_dtype=np.float32):
+        """image_dtype: np.float32, or ml_dtypes.bfloat16 to halve H2D
+        transfer bytes — bit-identical downstream because the model's
+        first op casts the image to its compute dtype anyway
+        (nn/mae.py: batch['image'].astype(self.dtype))."""
         import pandas as pd
 
         self.data_root = data_root
@@ -207,17 +212,18 @@ class PretrainReportDataset:
                                         scale=(0.2, 1.0),
                                         interpolation="bicubic", seed=seed)
         self.rng = random.Random(seed)
+        self.image_dtype = image_dtype
 
     def __len__(self):
         return len(self.images)
 
     def __getitem__(self, i) -> Dict[str, np.ndarray]:
-        img = _pil_load_rgb(self.images[i])
-        image = self.transform(img)
+        # fused decode+transform (draft-scaled JPEG decode, L-mode path)
+        image = self.transform.load(self.images[i])
         text = build_text_example(str(self.reports[i]),
                                   str(self.llm_outputs[i]), self.tokenizer,
                                   self.rng, self.max_caption_length)
-        return dict(text, image=image.astype(np.float32),
+        return dict(text, image=image.astype(self.image_dtype),
                     column=np.int32(self.attn_i[i]),
                     row=np.int32(self.attn_j[i]))
 

@@ -102,7 +102,7 @@ class TrainTransform:
     def __init__(self, size: int, mean: float, std: float,
                  scale: Tuple[float, float] = (0.08, 1.0),
                  interpolation: str = "bilinear", seed: int = 0,
-                 use_native: bool = True):
+                 use_native: bool = True, draft: bool = True):
         self.size = size
         self.mean = mean
         self.std = std
@@ -110,6 +110,54 @@ class TrainTransform:
         self.interpolation = interpolation
         self.rng = random.Random(seed)
         self.use_native = use_native
+        self.draft = draft
+
+    def load(self, path) -> np.ndarray:
+        """Fused open+decode+transform for one file — the feeder hot path.
+
+        Two measured wins over decode-then-__call__ (per-stage numbers in
+        DESIGN.md):
+          * the crop box is sampled from the JPEG HEADER size, so libjpeg
+            can draft-decode (DCT-domain 1/2 / 1/4 / 1/8 scaling) at the
+            smallest scale that still gives >= 1 source px per output px
+            for THIS crop — no fidelity loss for the 448-out resize;
+          * grayscale sources decode as single-channel 'L' (MIMIC-CXR JPEGs
+            are gray; RGB convert+crop+re-gray is 3x the bytes for an
+            identical result).
+        RNG draw order (crop box, then flip) matches __call__ exactly.
+        """
+        with open(path, "rb") as f:
+            img = Image.open(f)
+            w, h = img.size  # header only; pixels not decoded yet
+            box = sample_crop_box(w, h, self.rng, self.scale)
+            flip = self.rng.random() < 0.5
+            if self.draft and img.format == "JPEG":
+                bw, bh = box[2] - box[0], box[3] - box[1]
+                shrink = max(1, min(bw, bh) // self.size)
+                shrink = 1 << min(3, shrink.bit_length() - 1)
+                if shrink > 1:
+                    img.draft(img.mode, (w // shrink, h // shrink))
+            if img.mode not in ("L", "RGB"):
+                img = img.convert("RGB")
+            arr = np.asarray(img)  # decode happens here (possibly drafted)
+            sw, sh = img.size
+        if (sw, sh) != (w, h):
+            sx, sy = sw / w, sh / h
+            box = (box[0] * sx, box[1] * sy, box[2] * sx, box[3] * sy)
+        if self.use_native:
+            from . import native
+
+            out = native.resize_norm(arr, box, self.size, self.mean,
+                                     self.std, grayscale=True,
+                                     filter=self.interpolation)
+            if out is not None:
+                return out[:, ::-1].copy() if flip else out
+        pil = Image.fromarray(arr)
+        pil = pil.resize((self.size, self.size), _interp(self.interpolation),
+                         box=box)
+        if flip:
+            pil = pil.transpose(Image.FLIP_LEFT_RIGHT)
+        return normalize(np.asarray(to_grayscale3(pil)), self.mean, self.std)
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         if self.use_native:

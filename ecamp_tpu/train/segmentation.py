@@ -53,15 +53,19 @@ class SegmentationTask:
         self._eval_step = None
 
     def init_state(self, rng: jax.Array, pretrained: str = "",
-                   from_pretrain: bool = True) -> TrainState:
+                   from_pretrain: bool = True,
+                   flavor: str = "ecamp") -> TrainState:
+        """flavor: baseline checkpoint conventions of train_RIGA.py:110-138
+        ('ecamp' | 'gloria' | 'random'; 'random' skips loading)."""
         c = self.cfg
         x = jnp.zeros((2, c.data.img_size, c.data.img_size, 3))
         variables = self.model.init(rng, x, train=False)
-        if pretrained:
+        if pretrained and flavor != "random":
             from ..ckpt import import_seg_vit
 
             variables, _, _ = import_seg_vit(variables, pretrained,
-                                             from_pretrain=from_pretrain)
+                                             from_pretrain=from_pretrain,
+                                             flavor=flavor)
         mask = _seg_freeze_mask(variables["params"], c.freeze_encoder)
         self.tx = make_optimizer(c.optimizer, freeze_mask=mask)
         state = TrainState.create(variables["params"], self.tx,

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_resnet50_backbone_shapes():
     from ecamp_tpu.nn.resnet import ResNet50Backbone
 
@@ -57,6 +58,7 @@ def test_presets_registry():
     assert "--linear_probe" in argv and "--task" in argv
 
 
+@pytest.mark.slow
 def test_pretrain_step_deterministic():
     """Same seed => bitwise-identical loss (SURVEY §5.2 determinism check)."""
     from ecamp_tpu.core import config as cfg
@@ -119,6 +121,7 @@ def test_graft_entry_single():
     assert callable(ge.dryrun_multichip)
 
 
+@pytest.mark.slow
 def test_detection_resnet_backbone_variant():
     from ecamp_tpu.core.config import ViTConfig
     from ecamp_tpu.nn.det import DetectionModel
@@ -132,6 +135,7 @@ def test_detection_resnet_backbone_variant():
     assert o2.shape == (1, 18, 28, 28)
 
 
+@pytest.mark.slow
 def test_pretrain_grad_accum_on_mesh():
     """MultiSteps accumulation under the sharded jit: params update only
     every accum_steps microbatches (reference accum_iter semantics,
@@ -227,3 +231,24 @@ def test_initialize_distributed_single_process_noop():
                          capture_output=True, text=True, timeout=300,
                          cwd=os.path.dirname(os.path.dirname(__file__)))
     assert "NOOP_OK" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_setup_output_provenance(tmp_path):
+    """Run provenance (main_pretrain.py:214-216,258): args.json +
+    config.yaml + a source snapshot under code/."""
+    import argparse
+
+    from ecamp_tpu.cli.common import setup_output
+
+    args = argparse.Namespace(lr=1.5e-4, output_dir=str(tmp_path),
+                              note="o'clock", flag=None)
+    setup_output(str(tmp_path), args)
+    assert (tmp_path / "args.json").exists()
+    yaml_text = (tmp_path / "config.yaml").read_text()
+    assert "lr: 0.00015" in yaml_text
+    assert "note: 'o''clock'" in yaml_text
+    assert "flag: null" in yaml_text
+    snap = tmp_path / "code" / "ecamp_tpu"
+    assert (snap / "cli" / "common.py").exists()
+    assert (snap / "train" / "pretrain.py").exists()
+    assert not (snap / "assets").exists()  # 17M of data stays out

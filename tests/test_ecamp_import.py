@@ -140,6 +140,7 @@ def tiny_variables():
     return model.init(rngs, batch, mask_ratio=0.75, deterministic=True)
 
 
+@pytest.mark.slow
 def test_full_ecamp_import_coverage(tiny_variables, tmp_path):
     from ecamp_tpu.ckpt import import_ecamp_pretrain
 
@@ -164,6 +165,7 @@ def test_full_ecamp_import_coverage(tiny_variables, tmp_path):
         sd["bert_encoder.model.bert.encoder.layer.1.output.dense.weight"].numpy().T)
 
 
+@pytest.mark.slow
 def test_visualization_rename_convention(tiny_variables, tmp_path):
     """cross_attn_layer checkpoints load after the rename
     (Visualization/main_visualization.py:88-93)."""
@@ -179,6 +181,7 @@ def test_visualization_rename_convention(tiny_variables, tmp_path):
     assert missing == []
 
 
+@pytest.mark.slow
 def test_adamw_moment_restore(tiny_variables, tmp_path):
     """Optimizer-state resume (util/misc.py:331-338): torch AdamW
     exp_avg/exp_avg_sq/step must land in the optax ScaleByAdamState with
@@ -271,3 +274,80 @@ def test_adamw_moment_restore_rejects_mismatched_groups(tiny_variables,
                 {"params": [0, 1], "weight_decay": 0.0}]}}
     with pytest.raises(ValueError, match="param-group"):
         import_ecamp_adamw_state(None, tiny_variables["params"], ckpt)
+
+
+def _tiny_trunk_sd(g, D=32, P=16, depth=1):
+    """Reference-named ViT trunk state dict (timm naming) for seg import."""
+    def t(*s):
+        return torch.randn(*s, generator=g)
+
+    sd = {"cls_token": t(1, 1, D), "pos_embed": t(1, 5, D),
+          "patch_embed.proj.weight": t(D, 3, P, P),
+          "patch_embed.proj.bias": t(D)}
+    for i in range(depth):
+        pre = f"blocks.{i}."
+        for n, shape in [("norm1.weight", (D,)), ("norm1.bias", (D,)),
+                         ("attn.qkv.weight", (3 * D, D)),
+                         ("attn.qkv.bias", (3 * D,)),
+                         ("attn.proj.weight", (D, D)),
+                         ("attn.proj.bias", (D,)),
+                         ("norm2.weight", (D,)), ("norm2.bias", (D,)),
+                         ("mlp.fc1.weight", (4 * D, D)),
+                         ("mlp.fc1.bias", (4 * D,)),
+                         ("mlp.fc2.weight", (D, 4 * D)),
+                         ("mlp.fc2.bias", (D,))]:
+            sd[pre + n] = t(*shape)
+    return sd
+
+
+@pytest.mark.slow
+def test_seg_import_gloria_flavor(tmp_path):
+    """RIGA gloria baseline branch (train_RIGA.py:110-131): state_dict keys
+    carry a gloria.img_encoder.model. prefix, matched against encoder.-
+    stripped SegViT keys."""
+    from ecamp_tpu.ckpt import import_seg_vit
+    from ecamp_tpu.core.config import ViTConfig
+    from ecamp_tpu.nn.seg import SegViT
+
+    vit = ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                    num_heads=2)
+    model = SegViT(vit, out_channels=1, sample_rate=4,
+                   features=(16, 8, 8, 8))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+
+    g = torch.Generator().manual_seed(5)
+    trunk = _tiny_trunk_sd(g)
+    sd = {"gloria.img_encoder.model." + k: v for k, v in trunk.items()}
+    path = str(tmp_path / "gloria.pth")
+    torch.save({"state_dict": sd}, path)
+
+    v1, loaded, _ = import_seg_vit(variables, path, flavor="gloria")
+    assert len(loaded) >= 14  # trunk fully matched
+    np.testing.assert_allclose(
+        np.asarray(v1["params"]["encoder"]["trunk"]["cls_token"]),
+        trunk["cls_token"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(v1["params"]["encoder"]["trunk"]["blocks_0"]["mlp"]["fc1"]
+                   ["kernel"]),
+        trunk["blocks.0.mlp.fc1.weight"].numpy().T)
+    # default flavor must NOT match gloria-prefixed keys
+    _, loaded_plain, _ = import_seg_vit(variables, path, flavor="ecamp")
+    assert loaded_plain == []
+
+
+@pytest.mark.slow
+def test_single_channel_vit_factory():
+    """vit_base_patch16_singlechannel parity (models_vit.py:131-136):
+    in_chans=1 factory runs on 1-channel input."""
+    from ecamp_tpu.core.config import vit_base_singlechannel
+    from ecamp_tpu.nn.vit import ViTClassifier
+
+    c = vit_base_singlechannel(img_size=32)
+    assert c.in_chans == 1
+    model = ViTClassifier(c, num_classes=3)
+    x = jnp.zeros((2, 32, 32, 1))
+    v = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(v, x)
+    assert logits.shape == (2, 3)
+    assert v["params"]["trunk"]["patch_embed"]["proj"]["kernel"].shape[2] == 1

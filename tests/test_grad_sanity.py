@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ecamp_tpu.ops.losses import (dice_coefficient, focal_loss,
                                   masked_pixel_losses, mixed_loss,
                                   sigmoid_bce, weighted_mlm_loss)

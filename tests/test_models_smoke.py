@@ -29,6 +29,7 @@ def test_vit_classifier_shapes():
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+@pytest.mark.slow
 def test_ecamp_pretrain_losses():
     model = ECAMP(vit=TINY_VIT, decoder=TINY_DEC, bert=TINY_BERT, sr_window=1)
     b, L = 2, 16
@@ -71,6 +72,7 @@ def test_ecamp_visualization_mode():
     assert "mim_loss" not in out
 
 
+@pytest.mark.slow
 def test_seg_vit_shapes():
     cfg = ViTConfig(img_size=64, patch_size=16, embed_dim=64, depth=1,
                     num_heads=2)
@@ -92,6 +94,7 @@ def test_seg_vit_dual_shapes():
     assert cup.shape == (1, 64, 64, 1)
 
 
+@pytest.mark.slow
 def test_detection_model_shapes():
     cfg = ViTConfig(img_size=224, patch_size=16, embed_dim=64, depth=1,
                     num_heads=2)

@@ -68,6 +68,7 @@ def test_schedules_match_reference_shapes():
     assert float(h(60)) == pytest.approx(0.5)
 
 
+@pytest.mark.slow
 def test_resnet_unet_shapes():
     from ecamp_tpu.nn.unet import ResNetUNet
 
@@ -78,6 +79,7 @@ def test_resnet_unet_shapes():
     assert y.shape == (1, 64, 64, 1)
 
 
+@pytest.mark.slow
 def test_summary_writer_smoke(tmp_path):
     from ecamp_tpu.core.observability import SummaryWriter
 
@@ -128,6 +130,7 @@ def test_epoch_cosine_lr_under_accum_matches_reference():
                                    err_msg=f"micro-step {t}")
 
 
+@pytest.mark.slow
 def test_pretrain_logged_lr_is_applied_lr():
     """metrics['lr'] must report the lr the optimizer applies (cycle-start
     schedule value), not the raw micro-step value (round-1 weak #3)."""

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ecamp_tpu.core import config as cfg
 from ecamp_tpu.core.mesh import make_mesh
 

@@ -85,6 +85,7 @@ def test_build_targets_matches_loop(grid):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_yolo_loss_finite_and_grad():
     import jax
 
