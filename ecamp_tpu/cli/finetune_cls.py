@@ -39,6 +39,13 @@ CLASS_NAMES = {
                      "Pleural_Thickening", "Hernia"],
     "CheXpert": ["Atelectasis", "Cardiomegaly", "Consolidation", "Edema",
                  "Pleural Effusion"],
+    "RSNA": ["Pneumonia"],
+    "ODIR5K": ["Normal", "Diabetes", "Glaucoma", "Cataract",
+               "Age related Macular Degeneration", "Hypertension",
+               "Pathological Myopia", "Other diseases/abnormalities"],
+    "MURED": ["DR", "NORMAL", "MH", "ODC", "TSLN", "ARMD", "DN", "MYA",
+              "BRVO", "ODP", "CRVO", "CNV", "RS", "ODE", "LS", "CSR", "HTR",
+              "ASR", "CRS", "OTHER"],
 }
 
 
@@ -136,6 +143,7 @@ def main():
         step = 0
         epoch = 0
         logger = MetricLogger()
+        pending = None
         from ..ckpt import save_checkpoint
 
         while step < args.num_steps and not stopper.should_stop:
@@ -145,10 +153,19 @@ def main():
                 if not multilabel:
                     labels = labels.argmax(-1).astype(np.int32)
                 state, m = task.train_step(state, batch["image"], labels)
-                logger.update(loss=float(m["loss"]), lr=float(m["lr"]))
+                # one step in flight: sync the PREVIOUS step's
+                # metrics after this one is dispatched
+                if pending is not None:
+                    logger.update(loss=float(pending["loss"]),
+                                  lr=float(pending["lr"]))
+                pending = m
                 step += 1
                 # validate every len(train_loader) steps (train.py:427,475)
                 if step % max(1, len(train_loader)) == 0:
+                    if pending is not None:
+                        logger.update(loss=float(pending["loss"]),
+                                      lr=float(pending["lr"]))
+                        pending = None
                     metrics = evaluate(task, state, val_loader)
                     val = metrics[metric_key]
                     is_best = stopper.update(val)

@@ -20,7 +20,8 @@ _VIT_FACTORY = {"tiny": cfg.vit_tiny, "base": cfg.vit_base,
                 "base_singlechannel": cfg.vit_base_singlechannel,
                 "large": cfg.vit_large, "huge": cfg.vit_huge}
 from ..core.metrics import JsonlLogger, MetricLogger
-from ..data.datasets import RSNADetectionDataset
+from ..data.datasets import (ObjectCXRDetectionDataset,
+                             RSNADetectionDataset)
 from ..data.loader import DataLoader
 from ..train.detection import DetectionTask
 from .common import EarlyStopper, add_common_args, setup_output
@@ -29,6 +30,8 @@ from .common import EarlyStopper, add_common_args, setup_output
 def get_args():
     p = argparse.ArgumentParser("ecamp_tpu finetune detection")
     add_common_args(p)
+    p.add_argument("--task", default="RSNA",
+                   choices=["RSNA", "ObjectCXR"])  # train.py:532
     p.add_argument("--dataset_path", required=True)
     p.add_argument("--list_path", default="")
     p.add_argument("--img_size", type=int, default=224)
@@ -84,7 +87,7 @@ def main():
     from ..data.assets import resolve_list_root
 
     list_path = resolve_list_root(args.list_path, args.dataset_path,
-                                  "Detection", "RSNA/test_list.csv")
+                                  "Detection", f"{args.task}/test_list.csv")
     expansion = 8 if args.data_volume in ("1", "10") else 4  # train.py:136
 
     dcfg = cfg.DetectionConfig(
@@ -105,9 +108,10 @@ def main():
     jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
 
     def make_ds(split):
-        return RSNADetectionDataset(list_path, args.dataset_path, split,
-                                    img_size=args.img_size,
-                                    data_volume=args.data_volume)
+        cls = (ObjectCXRDetectionDataset if args.task == "ObjectCXR"
+               else RSNADetectionDataset)
+        return cls(list_path, args.dataset_path, split,
+                   img_size=args.img_size, data_volume=args.data_volume)
 
     if args.stage == "train":
         train_loader = DataLoader(make_ds("train"), args.batch_size,
@@ -141,14 +145,24 @@ def main():
                 epoch = step // max(1, len(make_ds("train")) // args.batch_size or 1)
                 print(f"resumed from step {step}")
         logger = MetricLogger()
+        pending = None
         while step < args.num_steps and not stopper.should_stop:
             train_loader.set_epoch(epoch)
             for batch in train_loader:
                 state, m = task.train_step(state, batch["image"],
                                            batch["target"])
-                logger.update(loss=float(m["loss"]), lr=float(m["lr"]))
+                # one step in flight: sync the PREVIOUS step's
+                # metrics after this one is dispatched
+                if pending is not None:
+                    logger.update(loss=float(pending["loss"]),
+                                  lr=float(pending["lr"]))
+                pending = m
                 step += 1
                 if step % max(1, len(train_loader)) == 0:
+                    if pending is not None:
+                        logger.update(loss=float(pending["loss"]),
+                                      lr=float(pending["lr"]))
+                        pending = None
                     if epoch + 1 >= args.start_eval:
                         ap = evaluate(task, state, val_loader, args.img_size)
                         is_best = stopper.update(ap)

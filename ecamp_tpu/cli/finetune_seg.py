@@ -119,14 +119,24 @@ def main():
 
         step, epoch = 0, 0
         logger = MetricLogger()
+        pending = None
         while step < args.num_steps and not stopper.should_stop:
             train_loader.set_epoch(epoch)
             for batch in train_loader:
                 state, m = task.train_step(state, batch["image"],
                                            batch["mask"])
-                logger.update(loss=float(m["loss"]), lr=float(m["lr"]))
+                # one step in flight: sync the PREVIOUS step's
+                # metrics after this one is dispatched
+                if pending is not None:
+                    logger.update(loss=float(pending["loss"]),
+                                  lr=float(pending["lr"]))
+                pending = m
                 step += 1
                 if step % max(1, len(train_loader)) == 0:
+                    if pending is not None:
+                        logger.update(loss=float(pending["loss"]),
+                                      lr=float(pending["lr"]))
+                        pending = None
                     dice = evaluate(task, state, val_loader)
                     is_best = stopper.update(dice)
                     jsonl.write({"step": step, "dice": dice,

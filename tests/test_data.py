@@ -199,3 +199,103 @@ def test_classification_list_dataset(tmp_path):
     assert s["label"].tolist() == [1.0, 0.0, 0.0]
     # grayscale replication: channels identical
     assert np.allclose(s["image"][..., 0], s["image"][..., 1])
+
+
+def test_train_transform_load_matches_call_rng_stream(tmp_path):
+    """TrainTransform.load(path) must consume the SAME rng draws as
+    __call__(img) (crop box, then flip) so epoch determinism is unchanged,
+    and produce the same pixels for non-drafted sources."""
+    import random
+
+    from PIL import Image
+
+    from ecamp_tpu.data.transforms import TrainTransform
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (96, 80), np.uint8)
+    p = str(tmp_path / "x.png")  # PNG: no JPEG draft path
+    Image.fromarray(arr, "L").save(p)
+
+    t1 = TrainTransform(32, 0.47, 0.3, scale=(0.2, 1.0), seed=9,
+                        interpolation="bicubic")
+    t2 = TrainTransform(32, 0.47, 0.3, scale=(0.2, 1.0), seed=9,
+                        interpolation="bicubic")
+    for _ in range(4):
+        a = t1.load(p)
+        with open(p, "rb") as f:
+            img = Image.open(f)
+            img.load()
+        b = t2(img.convert("RGB"))
+        assert a.shape == (32, 32, 3)
+        np.testing.assert_allclose(a, b, atol=1.5 / 255 / 0.3)
+    # streams stayed aligned across iterations
+    assert t1.rng.random() == t2.rng.random()
+
+
+def test_train_transform_load_draft_quality(tmp_path):
+    """JPEG draft decode stays within a few gray levels of the exact
+    full-resolution path and never upsamples the sampled crop."""
+    from PIL import Image
+
+    from ecamp_tpu.data.transforms import TrainTransform
+
+    rng = np.random.default_rng(1)
+    big = np.clip(np.add.outer(np.linspace(0, 200, 1200),
+                               np.linspace(0, 55, 1000))
+                  + rng.normal(0, 8, (1200, 1000)), 0, 255).astype(np.uint8)
+    p = str(tmp_path / "big.jpg")
+    Image.fromarray(big, "L").save(p, "JPEG", quality=95)
+    a = TrainTransform(448, 0.4721, 0.3037, scale=(0.5, 1.0), seed=3,
+                       interpolation="bicubic", draft=True).load(p)
+    b = TrainTransform(448, 0.4721, 0.3037, scale=(0.5, 1.0), seed=3,
+                       interpolation="bicubic", draft=False).load(p)
+    assert np.abs(a - b).max() < 6.0 / 255 / 0.3037  # few gray levels
+    assert np.abs(a - b).mean() < 1.0 / 255 / 0.3037
+
+
+def test_prefetch_to_device_order_and_sharding():
+    import jax
+
+    from ecamp_tpu.core.mesh import cpu_test_mesh, prefetch_to_device
+
+    mesh = cpu_test_mesh(4)
+    batches = [{"x": np.full((8, 3), i, np.float32)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), mesh, size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(b["x"][0, 0]) == i
+        # leading dim sharded over the data axis
+        assert len(b["x"].sharding.device_set) == 4
+
+
+def test_pretrain_dataset_bf16_images(tmp_path):
+    """image_dtype=bfloat16 halves transfer bytes and is bit-identical
+    downstream (the model casts to bf16 first regardless)."""
+    import ml_dtypes
+    import shutil
+
+    from PIL import Image
+
+    from ecamp_tpu.data.datasets import PretrainReportDataset
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64), np.uint8)
+    ip = str(tmp_path / "a.jpg")
+    Image.fromarray(img, "L").save(ip, "JPEG")
+    with open(tmp_path / "mimic-cxr-2.0.0-entity-llm.csv", "w") as f:
+        f.write("img_path,report,llm_output\n")
+        f.write(f"{ip},no effusion. heart normal.,impression normal.\n")
+    with open(tmp_path / "mimic-cxr-2.0.0-attn-label.csv", "w") as f:
+        f.write("label_i,label_j\n1,1\n")
+    from ecamp_tpu.data.assets import tokenizer_path
+
+    shutil.copy(tokenizer_path(), tmp_path / "mimic_wordpiece.json")
+
+    ds32 = PretrainReportDataset(str(tmp_path), img_size=32, seed=0)
+    ds16 = PretrainReportDataset(str(tmp_path), img_size=32, seed=0,
+                                 image_dtype=ml_dtypes.bfloat16)
+    a = ds32[0]["image"]
+    b = ds16[0]["image"]
+    assert b.dtype == ml_dtypes.bfloat16
+    np.testing.assert_allclose(a.astype(ml_dtypes.bfloat16).astype(np.float32),
+                               b.astype(np.float32))
