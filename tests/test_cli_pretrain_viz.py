@@ -238,3 +238,62 @@ def test_encoder_resolution_input_skips_resize(monkeypatch):
     assert out["cross_attention"].shape == (1, 2, 8, 4)
     with pytest.raises(AssertionError, match="resize_bicubic"):
         model.apply(variables, batch(64), mask_ratio=0.0, deterministic=True)
+
+
+def test_pretrain_cli_pth_resume_restores_optimizer(toy_mimic, tmp_path,
+                                                    monkeypatch, capsys):
+    """Reference-style .pth resume through the CLI restores AdamW moments
+    and continues from epoch+1 (util/misc.py:331-338: optimizer+epoch are
+    restored for the reference's own checkpoints)."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_ecamp_import import BERT, DEC, VIT, _reference_state_dict
+
+    from ecamp_tpu.ckpt.torch_import import _optimizer_param_order
+
+    g = torch.Generator().manual_seed(4)
+    sd = _reference_state_dict(g)
+    order, n_nd, n_d = _optimizer_param_order(
+        {k: v.numpy() for k, v in sd.items()})
+    opt_sd = {"state": {}, "param_groups": [
+        {"params": list(range(n_nd)), "weight_decay": 0.0},
+        {"params": list(range(n_nd, n_nd + n_d)), "weight_decay": 0.05}]}
+    for i, name in enumerate(order):
+        opt_sd["state"][i] = {"step": torch.tensor(7.0),
+                              "exp_avg": torch.full_like(sd[name], 0.25),
+                              "exp_avg_sq": torch.full_like(sd[name], 0.5)}
+    ckpt = str(tmp_path / "ECAMP_mid_run.pth")
+    torch.save({"model": sd, "optimizer": opt_sd, "epoch": 0}, ckpt)
+
+    from ecamp_tpu.cli import pretrain
+    from ecamp_tpu.core import config as cfg
+
+    tiny_kw = dict(vit=VIT, decoder=DEC, bert=BERT, sr_window=1,
+                   max_caption_length=16)
+    orig = cfg.PretrainConfig
+
+    def tiny_config(**kw):
+        merged = dict(tiny_kw)
+        merged.update({k: v for k, v in kw.items() if k not in merged})
+        return orig(**merged)
+
+    monkeypatch.setattr(cfg, "PretrainConfig", tiny_config)
+    monkeypatch.setattr(pretrain.cfg, "PretrainConfig", tiny_config)
+
+    out = tmp_path / "out"
+    argv = ["pretrain", "--data_path", str(toy_mimic),
+            "--batch_size", "8", "--epochs", "2", "--max_epoch", "4",
+            "--warmup_epochs", "1", "--input_size", "64",
+            "--max_caption_length", "16", "--num_workers", "2",
+            "--output_dir", str(out), "--no_bf16", "--print_freq", "1",
+            "--resume", ckpt]
+    monkeypatch.setattr(sys, "argv", argv)
+    pretrain.main()
+    printed = capsys.readouterr().out
+    assert "restored AdamW moments" in printed
+    assert "(torch step 7)" in printed
+    # epoch 0 in the ckpt -> training resumed at epoch 1 -> ONE epoch ran
+    log = (out / "log.txt").read_text().strip().splitlines()
+    recs = [json.loads(l) for l in log]
+    assert [r["epoch"] for r in recs] == [1]
+    assert np.isfinite(recs[-1]["loss"])
