@@ -252,3 +252,24 @@ def test_setup_output_provenance(tmp_path):
     assert (snap / "cli" / "common.py").exists()
     assert (snap / "train" / "pretrain.py").exists()
     assert not (snap / "assets").exists()  # 17M of data stays out
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_driver_style():
+    """Regression guard for the round-1 driver failure: dryrun_multichip
+    must succeed from a FRESH process with no platform env forcing,
+    exactly how the driver invokes it."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8); "
+         "print('DRYRUN_OK')"],
+        env=env, capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert "DRYRUN_OK" in out.stdout, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "dp=4 x tp=2" in out.stdout
