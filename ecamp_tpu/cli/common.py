@@ -94,3 +94,19 @@ class EarlyStopper:
     @property
     def should_stop(self) -> bool:
         return self.bad >= self.patience
+
+
+def pad_eval_batch(x, batch_size: int):
+    """Zero-pad an eval batch's leading dim to `batch_size`.
+
+    TPU-native eval: XLA compiles one program per input shape, so a ragged
+    final batch (drop_last=False) would trigger a fresh multi-minute
+    compile. Pad to the static shape and slice the outputs back with the
+    returned true length."""
+    import numpy as np
+
+    n = x.shape[0]
+    if n == batch_size:
+        return x, n
+    pad = np.zeros((batch_size - n,) + x.shape[1:], x.dtype)
+    return np.concatenate([x, pad]), n

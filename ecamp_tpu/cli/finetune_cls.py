@@ -23,7 +23,8 @@ from ..data.datasets import ClassificationListDataset
 from ..data.loader import DataLoader
 from ..data.transforms import EvalTransform, TrainTransform
 from ..train.classification import ClassificationTask
-from .common import EarlyStopper, add_common_args, setup_output
+from .common import (EarlyStopper, add_common_args,
+                     pad_eval_batch, setup_output)
 
 # task -> (num_classes, multilabel) (Classification/train.py:37-44,118-121)
 TASKS = {
@@ -79,9 +80,11 @@ def get_args():
 
 def evaluate(task: ClassificationTask, state, loader) -> dict:
     logits_all, labels_all = [], []
+    bs = loader.batch_size
     for batch in loader:
-        logits = task.eval_step(state, batch["image"])
-        logits_all.append(np.asarray(logits, np.float32))
+        img, n = pad_eval_batch(batch["image"], bs)
+        logits = task.eval_step(state, img)
+        logits_all.append(np.asarray(logits, np.float32)[:n])
         labels_all.append(batch["label"])
     logits = np.concatenate(logits_all)
     labels = np.concatenate(labels_all)

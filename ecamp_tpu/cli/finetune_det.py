@@ -24,7 +24,8 @@ from ..data.datasets import (ObjectCXRDetectionDataset,
                              RSNADetectionDataset)
 from ..data.loader import DataLoader
 from ..train.detection import DetectionTask
-from .common import EarlyStopper, add_common_args, setup_output
+from .common import (EarlyStopper, add_common_args,
+                     pad_eval_batch, setup_output)
 
 
 def get_args():
@@ -71,9 +72,11 @@ def _gt_xyxy(targets: np.ndarray, img_size: int):
 
 def evaluate(task: DetectionTask, state, loader, img_size: int) -> float:
     all_dets, all_gts = [], []
+    bs = loader.batch_size
     for batch in loader:
-        preds = task.eval_step(state, batch["image"])
-        all_dets.extend(task.detections(preds))
+        img, n = pad_eval_batch(batch["image"], bs)
+        preds = task.eval_step(state, img)
+        all_dets.extend(task.detections(preds[:n]))
         all_gts.extend(_gt_xyxy(batch["target"], img_size))
     return task.compute_map(all_dets, all_gts)
 

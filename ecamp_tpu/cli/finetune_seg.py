@@ -23,7 +23,8 @@ from ..data.datasets import (RIGASegmentationDataset, RSNASegmentationDataset,
                              SIIMSegmentationDataset)
 from ..data.loader import DataLoader
 from ..train.segmentation import SegmentationTask
-from .common import EarlyStopper, add_common_args, setup_output
+from .common import (EarlyStopper, add_common_args,
+                     pad_eval_batch, setup_output)
 
 DATASETS = {"SIIM": SIIMSegmentationDataset, "RSNA": RSNASegmentationDataset,
             "RIGA": RIGASegmentationDataset}
@@ -56,8 +57,11 @@ def get_args():
 
 def evaluate(task: SegmentationTask, state, loader) -> float:
     dices = []
+    bs = loader.batch_size
     for batch in loader:
-        probs = task.eval_step(state, batch["image"])
+        img, n = pad_eval_batch(batch["image"], bs)
+        probs = task.eval_step(state, img)
+        probs = tuple(p[:n] for p in probs) if task.dual else probs[:n]
         if task.dual:
             disc, cup = probs
             d1 = task.compute_dice(np.asarray(disc)[..., 0],
