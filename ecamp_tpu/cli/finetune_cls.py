@@ -74,6 +74,10 @@ def get_args():
     p.add_argument("--eval_batch_size", type=int, default=128)
     p.add_argument("--max_grad_norm", type=float, default=1.0,
                    help="global grad-norm clip, every step (Classification/train.py:459,555); <=0 disables")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1,
+                   help="micro-batch = batch_size//accum; the optimizer "
+                        "steps once per accum micro-batches (reference "
+                        "train.py semantics)")
     p.add_argument("--stage", default="train", choices=["train", "test"])
     return p.parse_args()
 
@@ -118,7 +122,9 @@ def main():
             schedule=("warmup_cosine_step" if args.decay_type == "cosine"
                       else "warmup_linear_step"),
             warmup_steps=args.warmup_steps, total_steps=args.num_steps,
-            grad_clip=(args.max_grad_norm if args.max_grad_norm > 0 else None)),
+            grad_clip=(args.max_grad_norm if args.max_grad_norm > 0
+                       else None),
+            accum_steps=args.gradient_accumulation_steps),
         task=args.task, num_classes=num_classes, is_multilabel=multilabel,
         linear_probe=args.linear_probe, patience=args.patience,
         bf16=not args.no_bf16, seed=args.seed)
@@ -136,7 +142,10 @@ def main():
         val_ds = ClassificationListDataset(list_path, args.dataset_path,
                                            args.task, "val", args.data_volume,
                                            et)
-        train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+        # micro-batch = batch // accum (reference train.py:369)
+        micro_bs = max(1, args.batch_size
+                       // max(1, args.gradient_accumulation_steps))
+        train_loader = DataLoader(train_ds, micro_bs, shuffle=True,
                                   seed=args.seed, num_workers=args.num_workers)
         val_loader = DataLoader(val_ds, args.eval_batch_size, shuffle=False,
                                 drop_last=False,
@@ -147,6 +156,8 @@ def main():
         epoch = 0
         logger = MetricLogger()
         pending = None
+        micro = 0
+        accum = max(1, args.gradient_accumulation_steps)
         from ..ckpt import save_checkpoint
 
         while step < args.num_steps and not stopper.should_stop:
@@ -162,6 +173,9 @@ def main():
                     logger.update(loss=float(pending["loss"]),
                                   lr=float(pending["lr"]))
                 pending = m
+                micro += 1
+                if micro % accum != 0:
+                    continue  # optimizer updates every accum micro-batches
                 step += 1
                 # validate every len(train_loader) steps (train.py:427,475)
                 if step % max(1, len(train_loader)) == 0:

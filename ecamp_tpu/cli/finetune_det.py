@@ -47,6 +47,10 @@ def get_args():
     p.add_argument("--conf_threshold", type=float, default=0.5)
     p.add_argument("--max_grad_norm", type=float, default=1.0,
                    help="global grad-norm clip, every step (Detection/train.py:483,559); <=0 disables")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1,
+                   help="micro-batch = batch_size//accum; the optimizer "
+                        "steps once per accum micro-batches (reference "
+                        "train.py semantics)")
     p.add_argument("--nms_threshold", type=float, default=0.5)
     p.add_argument("--start_eval", type=int, default=1,
                    help="skip eval before this epoch (train.py --start_eval)")
@@ -99,7 +103,9 @@ def main():
             name="adamw", lr=args.lr, weight_decay=args.weight_decay,
             betas=(0.9, 0.999), schedule="warmup_cosine_step",
             warmup_steps=args.warmup_steps, total_steps=args.num_steps,
-            grad_clip=(args.max_grad_norm if args.max_grad_norm > 0 else None)),
+            grad_clip=(args.max_grad_norm if args.max_grad_norm > 0
+                       else None),
+            accum_steps=args.gradient_accumulation_steps),
         img_size=args.img_size, expansion=expansion,
         conf_threshold=args.conf_threshold, nms_threshold=args.nms_threshold,
         patience=args.patience, bf16=not args.no_bf16, seed=args.seed)
@@ -117,7 +123,10 @@ def main():
                    img_size=args.img_size, data_volume=args.data_volume)
 
     if args.stage == "train":
-        train_loader = DataLoader(make_ds("train"), args.batch_size,
+        # micro-batch = batch // accum (reference train.py semantics)
+        micro_bs = max(1, args.batch_size
+                       // max(1, args.gradient_accumulation_steps))
+        train_loader = DataLoader(make_ds("train"), micro_bs,
                                   shuffle=True, seed=args.seed,
                                   num_workers=args.num_workers)
         val_loader = DataLoader(make_ds("val"), args.eval_batch_size,
@@ -149,6 +158,8 @@ def main():
                 print(f"resumed from step {step}")
         logger = MetricLogger()
         pending = None
+        micro = 0
+        accum = max(1, args.gradient_accumulation_steps)
         while step < args.num_steps and not stopper.should_stop:
             train_loader.set_epoch(epoch)
             for batch in train_loader:
@@ -160,6 +171,9 @@ def main():
                     logger.update(loss=float(pending["loss"]),
                                   lr=float(pending["lr"]))
                 pending = m
+                micro += 1
+                if micro % accum != 0:
+                    continue  # optimizer updates every accum micro-batches
                 step += 1
                 if step % max(1, len(train_loader)) == 0:
                     if pending is not None:

@@ -47,6 +47,10 @@ def get_args():
     p.add_argument("--eval_batch_size", type=int, default=64)
     p.add_argument("--max_grad_norm", type=float, default=1.0,
                    help="global grad-norm clip, every step (Segmentation/train.py:388,465); <=0 disables")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1,
+                   help="micro-batch = batch_size//accum; the optimizer "
+                        "steps once per accum micro-batches (reference "
+                        "train.py semantics)")
     p.add_argument("--no_freeze_encoder", action="store_true")
     p.add_argument("--name", default="ecamp",
                    choices=["ecamp", "gloria", "random"],
@@ -94,7 +98,9 @@ def main():
             name="adamw", lr=args.lr, weight_decay=args.weight_decay,
             betas=(0.9, 0.999), schedule="warmup_cosine_step",
             warmup_steps=args.warmup_steps, total_steps=args.num_steps,
-            grad_clip=(args.max_grad_norm if args.max_grad_norm > 0 else None)),
+            grad_clip=(args.max_grad_norm if args.max_grad_norm > 0
+                       else None),
+            accum_steps=args.gradient_accumulation_steps),
         task=args.task, freeze_encoder=not args.no_freeze_encoder,
         patience=args.patience, bf16=not args.no_bf16, seed=args.seed,
         data=cfg.DataConfig(img_size=args.img_size))
@@ -112,7 +118,10 @@ def main():
                       seed=args.seed)
 
     if args.stage == "train":
-        train_loader = DataLoader(make_ds("train"), args.batch_size,
+        # micro-batch = batch // accum (reference train.py:308)
+        micro_bs = max(1, args.batch_size
+                       // max(1, args.gradient_accumulation_steps))
+        train_loader = DataLoader(make_ds("train"), micro_bs,
                                   shuffle=True, seed=args.seed,
                                   num_workers=args.num_workers)
         val_loader = DataLoader(make_ds("val"), args.eval_batch_size,
@@ -124,6 +133,8 @@ def main():
         step, epoch = 0, 0
         logger = MetricLogger()
         pending = None
+        micro = 0
+        accum = max(1, args.gradient_accumulation_steps)
         while step < args.num_steps and not stopper.should_stop:
             train_loader.set_epoch(epoch)
             for batch in train_loader:
@@ -135,6 +146,9 @@ def main():
                     logger.update(loss=float(pending["loss"]),
                                   lr=float(pending["lr"]))
                 pending = m
+                micro += 1
+                if micro % accum != 0:
+                    continue  # optimizer updates every accum micro-batches
                 step += 1
                 if step % max(1, len(train_loader)) == 0:
                     if pending is not None:

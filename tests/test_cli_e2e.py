@@ -67,3 +67,37 @@ def test_visualize_jet():
     # low -> blue dominant, high -> red dominant
     assert c[0, 2] > c[0, 0]
     assert c[2, 0] > c[2, 2]
+
+
+def test_finetune_cls_cli_grad_accum(toy_cls_data, tmp_path, monkeypatch,
+                                     capsys):
+    """--gradient_accumulation_steps: micro-batch = batch//accum, the step
+    counter counts optimizer UPDATES, validation fires on update cadence
+    (reference train.py:369,448-476 semantics)."""
+    from ecamp_tpu.cli import finetune_cls
+
+    out = tmp_path / "out_accum"
+    argv = [
+        "finetune_cls", "--task", "RSNA",
+        "--dataset_path", str(toy_cls_data / "imgs"),
+        "--list_path", str(toy_cls_data / "lists"),
+        "--img_size", "32", "--model", "tiny",
+        "--batch_size", "8", "--eval_batch_size", "8",
+        "--gradient_accumulation_steps", "2",
+        "--num_steps", "4", "--warmup_steps", "1",
+        "--lr", "0.01", "--num_workers", "2",
+        "--output_dir", str(out), "--no_bf16",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    finetune_cls.main()
+    captured = capsys.readouterr().out
+    assert "TEST mean AUROC" in captured
+    import json
+
+    recs = [json.loads(l) for l in
+            (out / "log.txt").read_text().strip().splitlines()
+            if l.strip().startswith("{") and "step" in l]
+    steps = [r["step"] for r in recs if "step" in r]
+    # micro-batch 4 -> 4 micro-batches/epoch = len(train_loader); eval
+    # every len(train_loader)=4 UPDATES -> first eval at update 4
+    assert steps and steps[0] == 4, steps
