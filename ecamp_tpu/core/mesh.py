@@ -95,12 +95,24 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host batch (pytree of np/jnp arrays) sharded over 'data'.
 
     Replaces DistributedSampler + .cuda() transfers (main_pretrain.py:200-205,
-    model_ecamp.py:312-317): one device_put with a NamedSharding splits the
-    global batch across chips.
+    model_ecamp.py:312-317). Single-process: one device_put with a
+    NamedSharding splits the batch across local chips. Multi-process: the
+    DataLoader already yields each process's shard of the global batch
+    (DistributedSampler semantics), so the local arrays are assembled into
+    one global jax.Array spanning all hosts — global batch = local x
+    process_count. Verified by the 2-process gloo test
+    (tests/test_aux_components.py::test_two_process_data_parallel).
     """
+    nproc = jax.process_count()
+
     def put(x):
         x = np.asarray(x)
-        return jax.device_put(x, data_sharding(mesh, x.ndim))
+        sh = data_sharding(mesh, max(x.ndim, 1))
+        if nproc == 1:
+            return jax.device_put(x, sh)
+        gshape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x,
+                                                      global_shape=gshape)
 
     return jax.tree_util.tree_map(put, batch)
 

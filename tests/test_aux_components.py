@@ -273,3 +273,56 @@ def test_dryrun_multichip_driver_style():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert "DRYRUN_OK" in out.stdout, (out.stdout[-2000:], out.stderr[-2000:])
     assert "dp=4 x tp=2" in out.stdout
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel():
+    """REAL multi-process data parallelism on one box: two processes with
+    4 virtual CPU devices each bootstrap via initialize_distributed
+    (gloo collectives), each contributes its LOCAL half of a global batch
+    through shard_batch, and a jitted global mean reduces across
+    processes — the framework's answer to DDP+NCCL (SURVEY §2.9/§5.8)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    code = r'''
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_num_cpu_devices", 4)
+from ecamp_tpu.core.mesh import initialize_distributed, make_mesh, shard_batch
+initialize_distributed()
+import jax.numpy as jnp
+import numpy as np
+from ecamp_tpu.core.config import MeshConfig
+assert jax.process_count() == 2 and jax.device_count() == 8
+mesh = make_mesh(MeshConfig(data=8))
+pid = jax.process_index()
+local = {"x": np.arange(4 * 3, dtype=np.float32).reshape(4, 3) + 100 * pid}
+g = shard_batch(mesh, local)
+assert g["x"].shape == (8, 3), g["x"].shape  # global batch = 2 x local
+val_local = float(jax.jit(jnp.mean)(g["x"]).addressable_shards[0].data)
+expect = (np.arange(12, dtype=np.float64).mean() * 2 + 100) / 2
+np.testing.assert_allclose(val_local, expect, rtol=1e-6)
+print(f"proc {pid}: OK", flush=True)
+'''
+    procs = []
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for i in range(2):
+        env = dict(os.environ, JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(i))
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen([sys.executable, "-c", code], env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, text=True,
+                                      cwd=root))
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0 and f"proc {i}: OK" in out, \
+            (i, out[-1000:], err[-1000:])
