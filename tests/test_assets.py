@@ -156,3 +156,26 @@ def test_make_siim_lists(tmp_path):
     assert full["EncodedPixels"].tolist() == ["1 5 10 5", "-1", "3 4"]
     train = pd.read_csv(tmp_path / "train_list.csv")
     assert train["ImageId"].tolist() == ["id_a", "id_c"]
+
+
+def test_every_preset_parses_through_its_cli():
+    """Guard against preset/CLI flag drift: the rendered argv of every
+    preset must be accepted by the target entry point's parser."""
+    import sys
+    from unittest import mock
+
+    from ecamp_tpu.core.presets import PRESETS, preset_argv
+
+    required = {
+        "pretrain": ["--data_path", "/tmp/x"],
+        "finetune_cls": ["--dataset_path", "/tmp/x"],
+        "finetune_seg": ["--dataset_path", "/tmp/x"],
+        "finetune_det": ["--dataset_path", "/tmp/x"],
+    }
+    for name, p in PRESETS.items():
+        mod = __import__(f"ecamp_tpu.cli.{p['entry']}",
+                         fromlist=["get_args"])
+        argv = ["prog"] + preset_argv(name) + required[p["entry"]]
+        with mock.patch.object(sys, "argv", argv):
+            args = mod.get_args()  # SystemExit on any unknown/invalid flag
+        assert args is not None, name
