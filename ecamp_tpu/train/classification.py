@@ -70,7 +70,10 @@ class ClassificationTask:
             (loss, _), grads = jax.value_and_grad(self._loss, has_aux=True)(
                 state.params, images, labels)
             new_state = state.replace(tx=self.tx).apply_gradients(grads)
-            return new_state, {"loss": loss, "lr": self.schedule(state.step)}
+            # step-based schedules count optimizer UPDATES; state.step
+            # counts micro-steps under accumulation
+            upd = state.step // max(1, self.cfg.optimizer.accum_steps)
+            return new_state, {"loss": loss, "lr": self.schedule(upd)}
 
         return jax.jit(step_fn, donate_argnums=(0,))
 

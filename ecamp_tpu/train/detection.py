@@ -86,7 +86,8 @@ class DetectionTask:
                                           images, targets)
             new_state = state.replace(tx=self.tx).apply_gradients(
                 grads, batch_stats=new_stats)
-            metrics = dict(parts, loss=loss, lr=self.schedule(state.step))
+            upd = state.step // max(1, self.cfg.optimizer.accum_steps)
+            metrics = dict(parts, loss=loss, lr=self.schedule(upd))
             return new_state, metrics
 
         return jax.jit(step_fn, donate_argnums=(0,))

@@ -9,7 +9,6 @@ grad accumulation (main_pretrain.py:137-153) via optax.MultiSteps.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -8,15 +8,14 @@ all-reduce over ICI (no DDP wrapper, no GradScaler — bf16 params policy).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..core import config as cfglib
 from ..core.dtypes import policy
-from ..core.mesh import data_sharding, make_mesh, replicated_sharding
+from ..core.mesh import make_mesh, replicated_sharding
 from ..nn.mae import ECAMP
 from .optim import make_optimizer, make_schedule
 from .state import TrainState

@@ -8,7 +8,6 @@ train_RIGA.py (disc/cup mean loss :243-276).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -96,7 +95,8 @@ class SegmentationTask:
                                           images, masks)
             new_state = state.replace(tx=self.tx).apply_gradients(
                 grads, batch_stats=new_stats)
-            return new_state, {"loss": loss, "lr": self.schedule(state.step)}
+            upd = state.step // max(1, self.cfg.optimizer.accum_steps)
+            return new_state, {"loss": loss, "lr": self.schedule(upd)}
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
