@@ -32,6 +32,10 @@ class ViTConfig:
     norm_eps: float = 1e-6
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
+    # rematerialize each block on the backward pass (jax.checkpoint):
+    # trades ~30% more FLOPs for O(depth) -> O(1) activation memory,
+    # enabling larger batches / models than HBM would otherwise allow
+    remat: bool = False
 
     @property
     def grid_size(self) -> int:
@@ -77,6 +81,7 @@ class BertConfig:
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
     max_position_embeddings: int = 256
+    remat: bool = False
     type_vocab_size: int = 2
     initializer_range: float = 0.02
     layer_norm_eps: float = 1e-12
@@ -92,6 +97,7 @@ class MAEDecoderConfig:
     num_heads: int = 16
     mlp_ratio: float = 4.0
     norm_eps: float = 1e-6
+    remat: bool = False
 
 
 @dataclass(frozen=True)

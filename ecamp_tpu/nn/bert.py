@@ -278,9 +278,11 @@ class MultimodalBert(nn.Module):
         if return_cross_probs:
             fused, cross_probs = fused
         h = fused
+        layer_cls = (nn.remat(BertLayer, static_argnums=(3,)) if c.remat
+                     else BertLayer)  # jax.checkpoint per layer
         for i in range(c.num_hidden_layers):
-            h = BertLayer(c, dtype=self.dtype, name=f"layer_{i}")(
-                h, bias=text_bias, deterministic=deterministic)
+            h = layer_cls(c, dtype=self.dtype, name=f"layer_{i}")(
+                h, text_bias, deterministic)
         out = MLMHead(c, dtype=self.dtype, name="cls")(
             h, return_features=return_mlm_features)
         if return_cross_probs:

@@ -164,10 +164,12 @@ class ECAMP(nn.Module):
         cls = cls_token.astype(self.dtype) + pos[:, :1, :]
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, c.embed_dim)), x],
                             axis=1)
+        block_cls = (nn.remat(Block, static_argnums=(2,)) if c.remat
+                     else Block)  # jax.checkpoint per block (config.remat)
         for i in range(c.depth):
-            x = Block(c.num_heads, c.mlp_ratio, c.qkv_bias,
-                      norm_eps=c.norm_eps, dtype=self.dtype,
-                      name=f"blocks_{i}")(x, deterministic=deterministic)
+            x = block_cls(c.num_heads, c.mlp_ratio, c.qkv_bias,
+                          norm_eps=c.norm_eps, dtype=self.dtype,
+                          name=f"blocks_{i}")(x, deterministic)
         x = LayerNorm(c.norm_eps, dtype=self.dtype, name="norm")(x)
         return x, mask, ids_restore, ids_keep
 
@@ -186,10 +188,12 @@ class ECAMP(nn.Module):
         x_ = jnp.take_along_axis(x_, ids_restore[:, :, None], axis=1)
         x = jnp.concatenate([x[:, :1, :], x_], axis=1)
         x = x + self._pos_embed(dc.embed_dim).astype(self.dtype)
+        block_cls = (nn.remat(Block, static_argnums=(2,)) if dc.remat
+                     else Block)
         for i in range(dc.depth):
-            x = Block(dc.num_heads, dc.mlp_ratio, True, norm_eps=dc.norm_eps,
-                      dtype=self.dtype, name=f"decoder_blocks_{i}")(
-                x, deterministic=deterministic)
+            x = block_cls(dc.num_heads, dc.mlp_ratio, True,
+                          norm_eps=dc.norm_eps, dtype=self.dtype,
+                          name=f"decoder_blocks_{i}")(x, deterministic)
         x = LayerNorm(dc.norm_eps, dtype=self.dtype, name="decoder_norm")(x)
         x = Dense(self.vit.patch_size ** 2 * self.vit.in_chans,
                   dtype=self.dtype, name="decoder_pred")(x)

@@ -49,10 +49,12 @@ class VisionTransformer(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         x = x + pos_embed.astype(self.dtype)
         x = nn.Dropout(c.drop_rate)(x, deterministic=deterministic)
+        block_cls = (nn.remat(Block, static_argnums=(2,)) if c.remat
+                     else Block)  # jax.checkpoint per block (config.remat)
         for i in range(c.depth):
-            x = Block(c.num_heads, c.mlp_ratio, c.qkv_bias, c.drop_rate,
-                      c.attn_drop_rate, c.norm_eps, dtype=self.dtype,
-                      name=f"blocks_{i}")(x, deterministic=deterministic)
+            x = block_cls(c.num_heads, c.mlp_ratio, c.qkv_bias, c.drop_rate,
+                          c.attn_drop_rate, c.norm_eps, dtype=self.dtype,
+                          name=f"blocks_{i}")(x, deterministic)
         return x
 
 

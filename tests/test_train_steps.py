@@ -135,3 +135,48 @@ def test_roc_auc_matches_closed_form():
     s2 = np.array([0.5, 0.5, 0.5, 0.5])
     l2 = np.array([0, 1, 0, 1])
     assert abs(roc_auc(s2, l2) - 0.5) < 1e-9
+
+
+def test_remat_matches_exact():
+    """cfg.remat (jax.checkpoint per block) must be numerically identical
+    to the non-remat step — it only changes the memory/recompute schedule."""
+    from ecamp_tpu.train.pretrain import PretrainTask
+
+    def build(remat):
+        tiny = cfg.PretrainConfig(
+            vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                              depth=2, num_heads=2, remat=remat),
+            decoder=cfg.MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2,
+                                         remat=remat),
+            bert=cfg.BertConfig(vocab_size=64, hidden_size=32,
+                                num_hidden_layers=2, num_attention_heads=2,
+                                intermediate_size=64,
+                                max_position_embeddings=8, remat=remat),
+            optimizer=cfg.OptimizerConfig(schedule="constant", lr=1e-3),
+            data=cfg.DataConfig(img_size=64), mesh=cfg.MeshConfig(data=1),
+            sr_window=1, max_caption_length=8, bf16=False)
+        task = PretrainTask(tiny, mesh=make_mesh(tiny.mesh,
+                                                 devices=jax.devices()[:1]))
+        state = task.init_state(jax.random.PRNGKey(0))
+        return task, state
+
+    rng = np.random.default_rng(5)
+    batch = {
+        "image": rng.normal(size=(2, 64, 64, 3)).astype(np.float32),
+        "ids": rng.integers(0, 64, (2, 8)).astype(np.int32),
+        "labels": rng.integers(0, 64, (2, 8)).astype(np.int32),
+        "attention_mask": np.ones((2, 8), np.int32),
+        "type_ids": np.zeros((2, 8), np.int32),
+        "weights": np.ones((2, 8), np.float32),
+        "column": np.zeros((2,), np.int32),
+        "row": np.zeros((2,), np.int32)}
+    outs = {}
+    for remat in (False, True):
+        task, state = build(remat)
+        sharded = task.shard_batch(batch)
+        state, m = task.train_step(state, sharded, jax.random.PRNGKey(7))
+        outs[remat] = (float(m["loss"]),
+                       np.asarray(state.params["cls_token"]))
+    assert np.isclose(outs[False][0], outs[True][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[False][1], outs[True][1], rtol=1e-5,
+                               atol=1e-7)
