@@ -143,7 +143,23 @@ def _apply_state(variables: Dict[str, Any], state: Dict[str, np.ndarray],
                 loaded.append(torch_key)
                 continue
             except ValueError:
-                pass  # shape mismatch -> keep init (strict=False semantics)
+                # shape mismatch: for position embeddings, bicubic-
+                # interpolate the patch grid to the target resolution
+                # (reference util/pos_embed.py:75-96 interpolate_pos_embed);
+                # anything else keeps init (strict=False semantics)
+                if rel[-1] == "pos_embed":
+                    from ..nn.pos_embed import interpolate_pos_embed
+
+                    v = np.asarray(state[torch_key], np.float32)
+                    tgt = np.shape(init_val)
+                    if (v.ndim == 3 and len(tgt) == 3
+                            and v.shape[-1] == tgt[-1]):
+                        grid = int(round((tgt[1] - 1) ** 0.5))
+                        out = interpolate_pos_embed(v, grid)
+                        if out.shape == tgt:
+                            new_flat[path] = out
+                            loaded.append(torch_key)
+                            continue
         new_flat[path] = init_val
         missing.append("/".join(path))
     return unflatten(new_flat), loaded, missing

@@ -351,3 +351,29 @@ def test_single_channel_vit_factory():
     logits = model.apply(v, x)
     assert logits.shape == (2, 3)
     assert v["params"]["trunk"]["patch_embed"]["proj"]["kernel"].shape[2] == 1
+
+
+def test_pos_embed_interpolated_on_resolution_mismatch(tmp_path):
+    """Importing a 224-trained checkpoint into a different-resolution
+    classifier bicubic-interpolates pos_embed instead of dropping it
+    (reference util/pos_embed.py:75-96 interpolate_pos_embed)."""
+    from ecamp_tpu.ckpt import import_vit_classifier
+    from ecamp_tpu.core.config import ViTConfig
+    from ecamp_tpu.nn.pos_embed import interpolate_pos_embed
+    from ecamp_tpu.nn.vit import ViTClassifier
+
+    # ckpt trained at 64px (4x4 grid, 17 tokens), target model at 32px
+    g = torch.Generator().manual_seed(6)
+    sd = _tiny_trunk_sd(g)
+    sd["pos_embed"] = torch.randn(1, 17, 32, generator=g)
+    path = str(tmp_path / "res224.pth")
+    torch.save({"model": sd}, path)
+
+    model = ViTClassifier(ViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                                    depth=1, num_heads=2), num_classes=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    v1, loaded, _ = import_vit_classifier(variables, path)
+    assert "pos_embed" in loaded
+    expect = interpolate_pos_embed(sd["pos_embed"].numpy(), 2)
+    np.testing.assert_allclose(
+        np.asarray(v1["params"]["trunk"]["pos_embed"]), expect, rtol=1e-5)
