@@ -140,11 +140,15 @@ def bench_real_data(src_side: int = 1024, n_images: int = 256):
     from ecamp_tpu.data.datasets import PretrainReportDataset
     from ecamp_tpu.data.loader import DataLoader
 
+    import ml_dtypes
+
     pcfg, task, state = make_task()
     key = jax.random.PRNGKey(1)
-    # compile + warm with a synthetic batch first so the timed loop
-    # measures steady-state, not compilation
+    # compile + warm with a synthetic batch of the SAME dtypes the loader
+    # ships (bf16 images) — a dtype mismatch would retrace the jit inside
+    # the timed loop
     batch = synthetic_batch(pcfg, task)
+    batch = dict(batch, image=batch["image"].astype(ml_dtypes.bfloat16))
     for _ in range(WARMUP):
         state, metrics = task.train_step(state, batch, key)
     float(metrics["loss"])
@@ -156,8 +160,6 @@ def bench_real_data(src_side: int = 1024, n_images: int = 256):
         state, metrics = task.train_step(state, batch, key)
     float(metrics["loss"])
     device_rate = BATCH * 5 / (time.perf_counter() - t0)
-
-    import ml_dtypes
 
     tmp = tempfile.mkdtemp(prefix="ecamp_bench_")
     _make_toy_corpus(tmp, n_images, src_side)
