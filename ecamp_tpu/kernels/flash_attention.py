@@ -56,7 +56,8 @@ def flash_supported(q, k, v, bias) -> bool:
         return False
     import os
 
-    if nq * nk < _MIN_FUSED_WORK and os.environ.get("ECAMP_FLASH") != "1":
+    min_work = int(os.environ.get("ECAMP_FLASH_MIN_WORK", _MIN_FUSED_WORK))
+    if nq * nk < min_work and os.environ.get("ECAMP_FLASH") != "1":
         return False
     if bias is not None:
         # supported bias layouts: (B, 1, 1, Nk) key-padding bias or full

@@ -43,6 +43,13 @@ class BertSelfAttention(nn.Module):
 
     With kv_states it acts as cross-attention, exactly as the fusion layer
     uses it (context_fusion.py:15,45-53).
+
+    Deliberate TPU deviation: HF applies attention dropout to the (B,H,Nq,Nk)
+    probability tensor; we apply the same-rate dropout to the (B,Nq,D)
+    context output instead, so the probs never need to be materialized in
+    HBM and the fused attention kernel stays usable. Identical in eval
+    (activation-parity tested); in training it is a same-strength
+    regularizer on the attention path, not a bitwise match.
     """
 
     cfg: BertConfig

@@ -36,8 +36,34 @@ from .layers import Block, Dense, LayerNorm, PatchEmbed
 from .pos_embed import get_2d_sincos_pos_embed
 
 
+class _Conv3x3Params(nn.Module):
+    """Parameter holder matching nn.Conv's tree (kernel HWIO + bias) so the
+    SR head can dispatch between the Pallas kernel and lax convs without
+    changing the checkpoint layout."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class SuperResolutionHead(nn.Module):
-    """InterpolateConvSuperResolution (model_ecamp.py:28-46)."""
+    """InterpolateConvSuperResolution (model_ecamp.py:28-46).
+
+    The conv stack runs channels-first: with C=3, NHWC convs put the
+    3-channel axis on the 128-lane dimension and XLA pays T(4,128) layout
+    copies on every edge — measured 16.9 ms fwd+bwd inside the step at
+    B=96 on v5e vs 13.1 ms for the same convs NCHW (tools/bench_sr.py;
+    a fused Pallas stencil was also measured and LOST to XLA's NCHW conv
+    — see kernels/sr_head.py, kept as an opt-in experiment).
+    """
 
     scale: int = 2
     channels: int = 3
@@ -47,13 +73,18 @@ class SuperResolutionHead(nn.Module):
     def __call__(self, x):
         n, h, w, c = x.shape
         x = resize_bilinear(x, (h * self.scale, w * self.scale))
-        residual = x
-        x = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(x)
-        x = jax.nn.relu(x)
-        x = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(x)
-        return jax.nn.relu(x + residual)
+        w1, b1 = _Conv3x3Params(c, self.channels, name="conv1")()
+        w2, b2 = _Conv3x3Params(self.channels, self.channels, name="conv2")()
+
+        from ..kernels.sr_head import sr_conv_stack, sr_supported, \
+            _xla_reference
+
+        x_chw = jnp.transpose(x, (0, 3, 1, 2))
+        if sr_supported(x_chw):  # opt-in (ECAMP_SR_KERNEL=1)
+            out = sr_conv_stack(x_chw, w1, b1, w2, b2)
+        else:
+            out = _xla_reference(x_chw, w1, b1, w2, b2)
+        return jnp.transpose(out, (0, 2, 3, 1))
 
 
 class ECAMP(nn.Module):

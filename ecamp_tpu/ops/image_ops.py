@@ -20,9 +20,13 @@ import numpy as np
 def _resize_matrix(src: int, dst: int, method: str) -> np.ndarray:
     """The (dst, src) matrix of the separable jax.image.resize linear map,
     extracted by resizing the identity (exact by linearity)."""
-    eye = jnp.eye(src, dtype=jnp.float32)
-    with jax.default_device(jax.devices("cpu")[0]):
-        m = jax.image.resize(eye, (dst, src), method=method, antialias=False)
+    # ensure_compile_time_eval: stays correct even if the first call happens
+    # inside a jit trace (otherwise np.asarray would see a tracer)
+    with jax.ensure_compile_time_eval():
+        eye = jnp.eye(src, dtype=jnp.float32)
+        with jax.default_device(jax.devices("cpu")[0]):
+            m = jax.image.resize(eye, (dst, src), method=method,
+                                 antialias=False)
     return np.asarray(m)
 
 
