@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..core.config import BertConfig
 from ..kernels import dot_product_attention
-from .layers import Dense, LayerNorm
+from .layers import Dense, Dropout, LayerNorm
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
@@ -78,7 +78,7 @@ class BertSelfAttention(nn.Module):
         if return_probs:
             out, probs = out
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, nq, d)
-        out = nn.Dropout(c.attention_probs_dropout_prob)(
+        out = Dropout(c.attention_probs_dropout_prob)(
             out, deterministic=deterministic)
         if return_probs:
             return out, probs
@@ -95,7 +95,7 @@ class BertSelfOutput(nn.Module):
     def __call__(self, hidden, residual, deterministic: bool = True):
         c = self.cfg
         hidden = Dense(c.hidden_size, dtype=self.dtype, name="dense")(hidden)
-        hidden = nn.Dropout(c.hidden_dropout_prob)(hidden, deterministic=deterministic)
+        hidden = Dropout(c.hidden_dropout_prob)(hidden, deterministic=deterministic)
         return LayerNorm(c.layer_norm_eps, dtype=self.dtype,
                          name="LayerNorm")(hidden + residual)
 
@@ -130,7 +130,7 @@ class BertOutput(nn.Module):
     def __call__(self, hidden, residual, deterministic: bool = True):
         c = self.cfg
         hidden = Dense(c.hidden_size, dtype=self.dtype, name="dense")(hidden)
-        hidden = nn.Dropout(c.hidden_dropout_prob)(hidden, deterministic=deterministic)
+        hidden = Dropout(c.hidden_dropout_prob)(hidden, deterministic=deterministic)
         return LayerNorm(c.layer_norm_eps, dtype=self.dtype,
                          name="LayerNorm")(hidden + residual)
 
@@ -207,7 +207,7 @@ class BertEmbeddings(nn.Module):
                        name="token_type_embeddings")(token_type_ids)
         x = (word + pos + tok).astype(self.dtype)
         x = LayerNorm(c.layer_norm_eps, dtype=self.dtype, name="LayerNorm")(x)
-        return nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
+        return Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
 
 
 class _VocabProjection(nn.Module):

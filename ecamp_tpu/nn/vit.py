@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..core.config import ViTConfig
-from .layers import Block, Dense, LayerNorm, PatchEmbed
+from .layers import Dropout, Block, Dense, LayerNorm, PatchEmbed
 
 
 class VisionTransformer(nn.Module):
@@ -48,7 +48,7 @@ class VisionTransformer(nn.Module):
                                (b, 1, c.embed_dim))
         x = jnp.concatenate([cls, x], axis=1)
         x = x + pos_embed.astype(self.dtype)
-        x = nn.Dropout(c.drop_rate)(x, deterministic=deterministic)
+        x = Dropout(c.drop_rate)(x, deterministic=deterministic)
         block_cls = (nn.remat(Block, static_argnums=(2,)) if c.remat
                      else Block)  # jax.checkpoint per block (config.remat)
         for i in range(c.depth):
