@@ -128,6 +128,11 @@ class MeshConfig:
     model_axis: str = "model"
     data: int = -1  # -1 = all devices
     model: int = 1
+    # ZeRO-1: shard optimizer moments (and accumulation buffers) over the
+    # data axis instead of replicating them. SURVEY §2.9's optional growth
+    # item; saves ~2 x params x 4B / N HBM per chip, XLA inserts the
+    # update all-gather.
+    shard_optimizer: bool = False
 
 
 @dataclass(frozen=True)

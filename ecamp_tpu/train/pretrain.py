@@ -64,17 +64,32 @@ class PretrainTask:
 
             variables, loaded, _ = import_ecamp_pretrain(variables, pretrained)
         params = variables["params"]
+        return self.place_state(TrainState.create(params, self.tx))
+
+    def place_state(self, state: TrainState,
+                    reinit_opt: bool = True) -> TrainState:
+        """Lay the train state out on the mesh: params replicated (or TP
+        over the model axis), optimizer state replicated or ZeRO-1-sharded
+        over the data axis (cfg.mesh.shard_optimizer). Also used to re-place
+        a state restored from checkpoint (reinit_opt=False keeps the
+        restored moments)."""
         if self.mesh.shape.get(self.mesh.axis_names[1], 1) > 1:
             # tensor-parallel layout over the model axis (optax state
-            # inherits the param shardings through tx.init under jit)
+            # inherits the param shardings through tx.init)
             from ..core.mesh import shard_params_tp
 
-            params = shard_params_tp(self.mesh, params)
-            state = TrainState.create(params, self.tx)
-            return state
-        state = TrainState.create(params, self.tx)
-        repl = replicated_sharding(self.mesh)
-        return jax.device_put(state, repl)
+            params = shard_params_tp(self.mesh, state.params)
+            state = state.replace(params=params)
+            if reinit_opt:
+                state = state.replace(opt_state=self.tx.init(params))
+        else:
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+        if self.cfg.mesh.shard_optimizer:
+            from ..core.mesh import shard_opt_state_zero1
+
+            state = state.replace(
+                opt_state=shard_opt_state_zero1(self.mesh, state.opt_state))
+        return state
 
     # -- step ----------------------------------------------------------
 
@@ -94,12 +109,25 @@ class PretrainTask:
         return loss, {"mim_loss": out["mim_loss"], "res_loss": out["res_loss"],
                       "mlm_loss": out["mlm_loss"]}
 
-    def make_train_step(self):
+    def make_train_step(self, state: TrainState = None):
+        # Pin the output state to the input layout: under ZeRO-1 the
+        # moments come in sharded over 'data' and must leave the same way
+        # (GSPMD then computes moment updates shard-local and all-gathers
+        # only the param updates); without the constraint propagation may
+        # flip layouts between steps and re-shuffle the state every call.
+        out_constraint = None
+        if state is not None and self.cfg.mesh.shard_optimizer:
+            out_constraint = jax.tree_util.tree_map(
+                lambda x: x.sharding, state)
+
         def step_fn(state: TrainState, batch, rng):
             rng = jax.random.fold_in(rng, state.step)
             (loss, aux), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True)(state.params, batch, rng)
             new_state = state.replace(tx=self.tx).apply_gradients(grads)
+            if out_constraint is not None:
+                new_state = jax.lax.with_sharding_constraint(
+                    new_state, out_constraint)
             # log the lr the optimizer actually APPLIES: under grad
             # accumulation the update covering this micro-step uses the
             # schedule value at its cycle-start micro-step (reference
@@ -113,7 +141,7 @@ class PretrainTask:
 
     def train_step(self, state, batch, rng):
         if self._train_step is None:
-            self._train_step = self.make_train_step()
+            self._train_step = self.make_train_step(state)
         return self._train_step(state, batch, rng)
 
     def shard_batch(self, batch):
