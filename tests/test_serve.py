@@ -1,0 +1,111 @@
+"""Serving layer: bucketed engine, micro-batcher, HTTP front-end."""
+
+import base64
+import io
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecamp_tpu.core import config as cfg
+from ecamp_tpu.core.mesh import make_mesh
+from ecamp_tpu.serve.engine import InferenceEngine, MicroBatcher
+
+TINY = cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                     num_heads=2)
+
+
+def _tiny_classifier_engine(buckets=(4, 8), mesh_n=1):
+    from ecamp_tpu.nn import ViTClassifier
+
+    model = ViTClassifier(TINY, 3, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
+
+    def apply_fn(params, x):
+        return model.apply({"params": params}, x)
+
+    mesh = make_mesh(cfg.MeshConfig(data=mesh_n),
+                     devices=jax.devices()[:mesh_n])
+    eng = InferenceEngine(apply_fn, variables["params"], mesh=mesh,
+                          buckets=buckets)
+    direct = lambda x: np.asarray(apply_fn(variables["params"], jnp.asarray(x)))
+    return eng, direct
+
+
+def test_engine_bucketing_matches_direct_apply():
+    eng, direct = _tiny_classifier_engine()
+    rng = np.random.default_rng(0)
+    for n in (1, 3, 4, 8, 19):  # pad, exact, chunked
+        x = rng.normal(size=(n, 32, 32, 3)).astype(np.float32)
+        np.testing.assert_allclose(eng(x), direct(x), rtol=2e-5, atol=2e-6)
+    s = eng.stats()
+    assert s["requests"] == 1 + 3 + 4 + 8 + 19
+    assert s["buckets"] == [4, 8]
+
+
+def test_engine_buckets_round_up_to_mesh():
+    eng, _ = _tiny_classifier_engine(buckets=(1, 3, 8), mesh_n=4)
+    assert eng.buckets == [4, 8]
+    x = np.zeros((2, 32, 32, 3), np.float32)
+    assert eng(x).shape == (2, 3)
+
+
+def test_microbatcher_coalesces_and_matches():
+    eng, direct = _tiny_classifier_engine()
+    mb = MicroBatcher(eng, max_batch=8, max_wait_ms=50.0)
+    rng = np.random.default_rng(1)
+    xs = rng.normal(size=(6, 32, 32, 3)).astype(np.float32)
+    futs = [mb.submit(x) for x in xs]
+    outs = np.stack([f.result(timeout=30) for f in futs])
+    np.testing.assert_allclose(outs, direct(xs), rtol=2e-5, atol=2e-6)
+    # concurrent submits shared device calls
+    assert eng.stats()["calls"] < 6
+    mb.close()
+    with pytest.raises(RuntimeError):
+        mb.submit(xs[0])
+
+
+def test_postprocess_applied():
+    from ecamp_tpu.serve.engine import sigmoid_np
+
+    eng, direct = _tiny_classifier_engine()
+    eng.postprocess = sigmoid_np
+    x = np.zeros((2, 32, 32, 3), np.float32)
+    np.testing.assert_allclose(eng(x), sigmoid_np(direct(x)), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_http_server_end_to_end(tmp_path):
+    from PIL import Image
+
+    from ecamp_tpu.serve.http_server import PredictionService, serve
+
+    eng, _ = _tiny_classifier_engine()
+    service = PredictionService(eng, "classification", img_size=32,
+                                class_names=["a", "b", "c"])
+    httpd = serve(service, port=0, background=True)
+    try:
+        port = httpd.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+        buf = io.BytesIO()
+        Image.fromarray(np.full((40, 40, 3), 128, np.uint8)).save(buf, "PNG")
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps(
+                {"image": base64.b64encode(buf.getvalue()).decode()}
+            ).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            preds = json.load(r)["predictions"]
+        assert len(preds) == 1 and len(preds[0]["probs"]) == 3
+        assert set(preds[0]["labels"]) == {"a", "b", "c"}
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            assert json.load(r)["requests"] >= 1
+    finally:
+        httpd.shutdown()
+        service.close()
