@@ -6,3 +6,10 @@ from .torch_import import (
     import_detector,
 )
 from .orbax_io import save_checkpoint, restore_checkpoint, latest_step
+from .torch_export import (
+    export_detector,
+    export_ecamp_pretrain,
+    export_seg_vit,
+    export_vit_classifier,
+    write_pth,
+)
