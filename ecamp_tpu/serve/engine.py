@@ -41,7 +41,8 @@ class InferenceEngine:
 
     def __init__(self, apply_fn: Callable, params, mesh=None,
                  buckets: Sequence[int] = (8, 32, 64),
-                 postprocess: Optional[Callable] = None):
+                 postprocess: Optional[Callable] = None,
+                 input_dtype=None):
         self.mesh = mesh if mesh is not None else make_mesh()
         n_data = self.mesh.shape[self.mesh.axis_names[0]]
         # buckets must divide evenly over the data axis
@@ -49,6 +50,9 @@ class InferenceEngine:
         self.params = replicate(self.mesh, params)
         self._fn = jax.jit(apply_fn)
         self.postprocess = postprocess
+        # cast inputs before the host->device copy (bf16 halves transfer
+        # bytes; bit-identical for models whose first op casts to bf16)
+        self.input_dtype = input_dtype
         self._lat_ms: list = []
         self._count = 0
         self._lock = threading.Lock()
@@ -68,6 +72,8 @@ class InferenceEngine:
             jax.block_until_ready(self._run_padded(np.ascontiguousarray(x)))
 
     def _run_padded(self, x: np.ndarray):
+        if self.input_dtype is not None:
+            x = x.astype(self.input_dtype)
         sharded = shard_batch(self.mesh, x)
         return self._fn(self.params, sharded)
 

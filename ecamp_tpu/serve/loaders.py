@@ -56,7 +56,8 @@ def classifier_engine(checkpoint: str = "", num_classes: int = 14,
 
     post = sigmoid_np if multilabel else softmax_np
     return InferenceEngine(apply_fn, variables["params"], mesh=mesh,
-                           buckets=buckets, postprocess=post)
+                           buckets=buckets, postprocess=post,
+                           input_dtype=policy(bf16).compute_dtype)
 
 
 def segmenter_engine(checkpoint: str = "", img_size: int = 224,
@@ -91,7 +92,8 @@ def segmenter_engine(checkpoint: str = "", img_size: int = 224,
     v = {"params": variables["params"]}
     if "batch_stats" in variables:
         v["batch_stats"] = variables["batch_stats"]
-    return InferenceEngine(apply_fn, v, mesh=mesh, buckets=buckets)
+    return InferenceEngine(apply_fn, v, mesh=mesh, buckets=buckets,
+                           input_dtype=policy(bf16).compute_dtype)
 
 
 def detector_engine(checkpoint: str = "", img_size: int = 224,
@@ -136,7 +138,8 @@ def detector_engine(checkpoint: str = "", img_size: int = 224,
     if "batch_stats" in variables:
         v["batch_stats"] = variables["batch_stats"]
     return InferenceEngine(apply_fn, v, mesh=mesh, buckets=buckets,
-                           postprocess=post)
+                           postprocess=post,
+                           input_dtype=policy(bf16).compute_dtype)
 
 
 def embedding_engine(checkpoint: str = "", img_size: int = 224,
@@ -171,4 +174,5 @@ def embedding_engine(checkpoint: str = "", img_size: int = 224,
         return feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
 
     return InferenceEngine(apply_fn, variables["params"], mesh=mesh,
-                           buckets=buckets)
+                           buckets=buckets,
+                           input_dtype=policy(bf16).compute_dtype)
