@@ -67,11 +67,18 @@ class DetEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 stop_trunk_grad: bool = False):
         c = self.cfg
         b, h_img = x.shape[0], x.shape[1]
         tokens = VisionTransformer(c, dtype=self.dtype, name="trunk")(
             x, deterministic)
+        if stop_trunk_grad:
+            # frozen-encoder training (Detection/train.py:169-174): the
+            # trunk's grads are optimizer-masked to zero, so skip the dead
+            # backward (the reference's requires_grad=False cost semantics);
+            # det_head stays trainable. Numerically identical updates.
+            tokens = jax.lax.stop_gradient(tokens)
         tokens = tokens[:, 1:, :]
         tokens = Dense(c.embed_dim, dtype=self.dtype, name="det_head")(tokens)
         grid = h_img // c.patch_size
@@ -114,9 +121,10 @@ class ViTDetector(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, deterministic: bool = True):
+    def __call__(self, x, train: bool = False, deterministic: bool = True,
+                 stop_trunk_grad: bool = False):
         feat = DetEncoder(self.cfg, dtype=self.dtype, name="encoder")(
-            x, deterministic)
+            x, deterministic, stop_trunk_grad)
         return DetectionLayers(expansion=self.expansion, dtype=self.dtype,
                                name="layers")(feat, train)
 
@@ -197,7 +205,8 @@ class DetectionModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, deterministic: bool = True):
+    def __call__(self, x, train: bool = False, deterministic: bool = True,
+                 stop_trunk_grad: bool = False):
         if self.backbone == "resnet50":
             from .resnet import ResNet50Backbone
 
@@ -206,7 +215,7 @@ class DetectionModel(nn.Module):
         else:
             x2, x1, x0 = ViTDetector(self.cfg, self.expansion,
                                      dtype=self.dtype, name="backbone")(
-                x, train, deterministic)
+                x, train, deterministic, stop_trunk_grad)
         outs = YoloV3Head(self.num_classes, dtype=self.dtype, name="head")(
             x2, x1, x0, train)
         return tuple(jnp.transpose(o, (0, 3, 1, 2)) for o in outs)

@@ -34,11 +34,19 @@ class SegEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 stop_trunk_grad: bool = False):
         c = self.cfg
         b, h_img = x.shape[0], x.shape[1]
         tokens = VisionTransformer(c, dtype=self.dtype, name="trunk")(
             x, deterministic)
+        if stop_trunk_grad:
+            # frozen-encoder training (train.py:128-133): the trunk's
+            # gradients are masked to zero by the optimizer anyway, so skip
+            # the dead backward entirely — the reference's
+            # requires_grad=False does exactly this on the torch side.
+            # Numerically identical updates (test_train_steps).
+            tokens = jax.lax.stop_gradient(tokens)
         tokens = tokens[:, 1:, :]
         sample_v = 2 ** self.sample_rate
         sub = c.patch_size // sample_v  # p1 == p2 (1 at the defaults)
@@ -84,9 +92,10 @@ class SegViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, deterministic: bool = True):
+    def __call__(self, x, train: bool = False, deterministic: bool = True,
+                 stop_trunk_grad: bool = False):
         feat = SegEncoder(self.cfg, self.sample_rate, dtype=self.dtype,
-                          name="encoder")(x, deterministic)
+                          name="encoder")(x, deterministic, stop_trunk_grad)
         return ConvDecoder(self.out_channels, self.features,
                            dtype=self.dtype, name="decoder")(feat, train)
 
@@ -101,10 +110,11 @@ class SegViTDual(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, deterministic: bool = True
+    def __call__(self, x, train: bool = False, deterministic: bool = True,
+                 stop_trunk_grad: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         feat = SegEncoder(self.cfg, self.sample_rate, dtype=self.dtype,
-                          name="encoder")(x, deterministic)
+                          name="encoder")(x, deterministic, stop_trunk_grad)
         disc = ConvDecoder(self.out_channels, self.features,
                            dtype=self.dtype, name="decoder_disc")(feat, train)
         cup = ConvDecoder(self.out_channels, self.features,

@@ -14,6 +14,7 @@ models_vit.py:90-93) or norm+cls-token (:95-96).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..core.config import ViTConfig
@@ -69,9 +70,16 @@ class ViTClassifier(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 stop_trunk_grad: bool = False):
         tokens = VisionTransformer(self.cfg, dtype=self.dtype,
                                    name="trunk")(x, deterministic)
+        if stop_trunk_grad:
+            # linear-probe mode (train.py:156-159 freezes all but head):
+            # grads below the head are optimizer-masked to zero, so skip
+            # the dead trunk backward — the reference's requires_grad=False
+            # cost semantics. Numerically identical updates.
+            tokens = jax.lax.stop_gradient(tokens)
         if self.global_pool:
             feat = tokens[:, 1:, :].mean(axis=1)
             feat = LayerNorm(self.cfg.norm_eps, dtype=self.dtype,

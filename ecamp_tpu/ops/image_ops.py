@@ -61,34 +61,42 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int],
     return _resize_matmul(x, size, "bilinear")
 
 
+@functools.lru_cache(maxsize=None)
+def _align_corners_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) matrix of torch's align_corners=True bilinear grid
+    (src = dst * (in-1)/(out-1)); exact fp32 weights."""
+    m = np.zeros((out_size, in_size), np.float32)
+    if out_size == 1 or in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = (src - lo).astype(np.float32)
+    m[np.arange(out_size), lo] += 1.0 - frac
+    m[np.arange(out_size), hi] += frac
+    return m
+
+
 def upsample_align_corners(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     """Bilinear upsample with align_corners=True (seg decoder nn.Upsample,
     Segmentation/models_vit.py:77; det neck, detector_backbone_vit.py:165).
 
-    jax.image.resize has no align_corners mode, so build it from
-    gather+lerp on the exact torch grid: src = dst * (in-1)/(out-1).
+    jax.image.resize has no align_corners mode. Formulated as the two
+    separable (out, in) matmuls of the torch grid rather than gather+lerp:
+    a gather's backward is a scatter-add, which is pathologically slow on
+    TPU and was the dominant cost of the whole seg train step (4 decoder
+    upsamples: 309 -> 61 ms/step at B=64 on v5e, tools/bench_finetune.py);
+    matmuls run on the MXU and differentiate as transposed matmuls.
+    Precision HIGHEST keeps fp32-exact weights (the matrices are mostly
+    0/0.5/1 at integer scales).
     """
     n, h, w, c = x.shape
-    oh, ow = h * scale, w * scale
-
-    def axis_weights(in_size, out_size):
-        if out_size == 1 or in_size == 1:
-            lo = jnp.zeros((out_size,), jnp.int32)
-            return lo, lo, jnp.zeros((out_size,), jnp.float32)
-        src = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
-        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
-        hi = jnp.clip(lo + 1, 0, in_size - 1)
-        frac = src - lo.astype(jnp.float32)
-        return lo, hi, frac
-
-    ylo, yhi, yf = axis_weights(h, oh)
-    xlo, xhi, xf = axis_weights(w, ow)
-    xf32 = x.astype(jnp.float32)
-    top = xf32[:, ylo][:, :, xlo] * (1 - xf[None, None, :, None]) + \
-        xf32[:, ylo][:, :, xhi] * xf[None, None, :, None]
-    bot = xf32[:, yhi][:, :, xlo] * (1 - xf[None, None, :, None]) + \
-        xf32[:, yhi][:, :, xhi] * xf[None, None, :, None]
-    out = top * (1 - yf[None, :, None, None]) + bot * yf[None, :, None, None]
+    wy = jnp.asarray(_align_corners_matrix(h, h * scale))
+    wx = jnp.asarray(_align_corners_matrix(w, w * scale))
+    xf = x.astype(jnp.float32)
+    out = jnp.einsum("Oh,nhwc->nOwc", wy, xf, precision="highest")
+    out = jnp.einsum("Pw,nOwc->nOPc", wx, out, precision="highest")
     return out.astype(x.dtype)
 
 

@@ -58,7 +58,8 @@ class ClassificationTask:
 
     def _loss(self, params, images, labels):
         logits = self.model.apply({"params": params}, images,
-                                  deterministic=False)
+                                  deterministic=False,
+                                  stop_trunk_grad=self.cfg.linear_probe)
         if self.cfg.is_multilabel:
             loss = sigmoid_bce(logits, labels)
         else:

@@ -69,7 +69,8 @@ class DetectionTask:
     def _loss(self, params, batch_stats, images, targets):
         outs, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
-            train=True, mutable=["batch_stats"])
+            train=True, mutable=["batch_stats"],
+            stop_trunk_grad=self.cfg.freeze_encoder)
         total = 0.0
         parts = {}
         for i, logits in enumerate(outs):

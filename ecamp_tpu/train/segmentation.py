@@ -74,7 +74,8 @@ class SegmentationTask:
     def _loss(self, params, batch_stats, images, masks):
         out, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
-            train=True, mutable=["batch_stats"])
+            train=True, mutable=["batch_stats"],
+            stop_trunk_grad=self.cfg.freeze_encoder)
         if self.dual:
             # masks: (B, H, W, 2) disc/cup channels (train_RIGA.py:243-276)
             disc, cup = out

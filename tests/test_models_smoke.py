@@ -105,3 +105,25 @@ def test_detection_model_shapes():
     assert out0.shape == (1, 18, 7, 7)
     assert out1.shape == (1, 18, 14, 14)
     assert out2.shape == (1, 18, 28, 28)
+
+
+def test_upsample_align_corners_matches_torch():
+    """Matmul-formulated align_corners upsample vs torch nn.Upsample."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import numpy as np
+
+    from ecamp_tpu.ops.image_ops import upsample_align_corners
+
+    rng = np.random.default_rng(0)
+    for h, w, c, s in ((14, 14, 8, 2), (7, 5, 3, 2), (1, 4, 2, 2)):
+        x = rng.normal(size=(2, h, w, c)).astype(np.float32)
+        got = np.asarray(upsample_align_corners(jnp.asarray(x), s))
+        ref = torch.nn.functional.interpolate(
+            torch.tensor(x).permute(0, 3, 1, 2), scale_factor=s,
+            mode="bilinear", align_corners=True
+        ).permute(0, 2, 3, 1).numpy()
+        # matmul accumulates the 4 taps in a different order than torch's
+        # lerp; fp32 rounding only
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=2e-5)

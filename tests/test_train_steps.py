@@ -180,3 +180,71 @@ def test_remat_matches_exact():
     assert np.isclose(outs[False][0], outs[True][0], rtol=1e-6)
     np.testing.assert_allclose(outs[False][1], outs[True][1], rtol=1e-5,
                                atol=1e-7)
+
+
+def test_frozen_encoder_stop_gradient_updates_identical():
+    """stop_trunk_grad (skip dead backward under freeze) must produce the
+    exact same post-step params as computing-then-masking the grads."""
+
+    from ecamp_tpu.train.segmentation import SegmentationTask
+
+    c = cfg.SegmentationConfig(
+        vit=cfg.ViTConfig(img_size=64, patch_size=16, embed_dim=32, depth=1,
+                          num_heads=2),
+        decode_features=(8, 8, 8, 8), bf16=False, freeze_encoder=True,
+        # sgd: updates are linear in grads, so tolerances are meaningful
+        # (first-step adamw normalizes to +-lr and amplifies fp noise)
+        optimizer=cfg.OptimizerConfig(name="sgd", lr=1e-2, weight_decay=0.0,
+                                      schedule="constant"),
+        data=cfg.DataConfig(img_size=64), mesh=cfg.MeshConfig(data=1),
+    )
+    task = SegmentationTask(c, mesh=make_mesh(c.mesh,
+                                              devices=jax.devices()[:1]))
+    state = task.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    m = jnp.asarray((rng.random((2, 64, 64, 1)) > 0.7), jnp.float32)
+
+    # manual step computing the full backward (no stop), masked by the
+    # same optimizer
+    def loss_full(params, batch_stats):
+        from ecamp_tpu.ops.losses import mixed_loss
+
+        out, mutated = task.model.apply(
+            {"params": params, "batch_stats": batch_stats}, x,
+            train=True, mutable=["batch_stats"], stop_trunk_grad=False)
+        return mixed_loss(out[..., 0], m[..., 0], c.mixed_loss_alpha,
+                          c.focal_gamma), mutated["batch_stats"]
+
+    def loss_stop(params, batch_stats):
+        from ecamp_tpu.ops.losses import mixed_loss
+
+        out, mutated = task.model.apply(
+            {"params": params, "batch_stats": batch_stats}, x,
+            train=True, mutable=["batch_stats"], stop_trunk_grad=True)
+        return mixed_loss(out[..., 0], m[..., 0], c.mixed_loss_alpha,
+                          c.focal_gamma), mutated["batch_stats"]
+
+    (l0, _), g_full = jax.value_and_grad(loss_full, has_aux=True)(
+        state.params, state.batch_stats)
+    (l1, _), g_stop = jax.value_and_grad(loss_stop, has_aux=True)(
+        state.params, state.batch_stats)
+    assert float(l0) == float(l1)  # forward value unchanged
+    # trainable-leaf grads agree; trunk grads become exact zeros
+    flat_full = dict(jax.tree_util.tree_leaves_with_path(g_full))
+    for path, gs in jax.tree_util.tree_leaves_with_path(g_stop):
+        keys = [getattr(k, "key", "") for k in path]
+        gf = flat_full[path]
+        if keys[0] == "encoder" and keys[1] == "trunk":
+            np.testing.assert_array_equal(np.asarray(gs), 0.0)
+        else:
+            np.testing.assert_allclose(np.asarray(gs), np.asarray(gf),
+                                       rtol=1e-4, atol=1e-6)
+
+    trunk_before = jax.tree_util.tree_map(
+        np.asarray, state.params["encoder"]["trunk"])
+    new_state, metrics = task.train_step(state, x, m)  # donates state
+    # trunk params must be bitwise untouched by the real step
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        new_state.params["encoder"]["trunk"], trunk_before)
