@@ -109,3 +109,58 @@ def test_http_server_end_to_end(tmp_path):
     finally:
         httpd.shutdown()
         service.close()
+
+
+def test_batch_predict_cli_writes_jsonl(tmp_path):
+    from argparse import Namespace
+
+    from PIL import Image
+
+    from ecamp_tpu.cli.serve import batch_predict, iter_paths
+
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    for i in range(3):
+        Image.fromarray(np.full((40, 40, 3), 40 * i, np.uint8)).save(
+            imgdir / f"im{i}.png")
+    (tmp_path / "list.txt").write_text(
+        f"{imgdir}/im0.png extra cols\n\n{imgdir}/im2.png\n")
+    assert len(list(iter_paths(str(imgdir)))) == 3
+    assert list(iter_paths(str(tmp_path / "list.txt"))) == [
+        f"{imgdir}/im0.png", f"{imgdir}/im2.png"]
+
+    eng, _ = _tiny_classifier_engine()
+    args = Namespace(task="classification", images=str(imgdir),
+                     output=str(tmp_path / "preds.jsonl"), batch_size=2,
+                     img_size=32, mean=0.4722, std=0.3028,
+                     class_names=["a", "b", "c"])
+    batch_predict(args, eng)
+    rows = [json.loads(l) for l in
+            (tmp_path / "preds.jsonl").read_text().splitlines()]
+    assert len(rows) == 3
+    assert all(len(r["probs"]) == 3 and set(r["labels"]) == {"a", "b", "c"}
+               for r in rows)
+
+
+def test_exported_pth_loads_into_serve_engine(tmp_path):
+    """export_vit_classifier output feeds classifier_engine(.pth) — the
+    full train-here/serve-anywhere round trip."""
+    from ecamp_tpu.ckpt.torch_export import export_vit_classifier
+    from ecamp_tpu.nn import ViTClassifier
+    from ecamp_tpu.serve import classifier_engine
+
+    model = ViTClassifier(TINY, 3, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((2, 32, 32, 3)))
+    p = str(tmp_path / "cls.pth")
+    export_vit_classifier(variables, p)
+    eng = classifier_engine(checkpoint=p, num_classes=3, img_size=32,
+                            vit=TINY, buckets=(4,), bf16=False,
+                            mesh=make_mesh(cfg.MeshConfig(data=1),
+                                           devices=jax.devices()[:1]))
+    x = np.random.default_rng(4).normal(size=(2, 32, 32, 3)) \
+        .astype(np.float32)
+    from ecamp_tpu.serve.engine import sigmoid_np
+
+    want = sigmoid_np(np.asarray(model.apply(
+        {"params": variables["params"]}, jnp.asarray(x))))
+    np.testing.assert_allclose(eng(x), want, rtol=2e-5, atol=2e-6)
