@@ -67,11 +67,14 @@ def main():
 
     variables = _template(args)
     step = latest_step(args.checkpoint)
-    template = {"params": variables["params"]}
-    if "batch_stats" in variables:
-        template["batch_stats"] = variables["batch_stats"]
-    restored = restore_checkpoint(args.checkpoint, step, template=template)
-    variables = dict(variables, **restored)
+    # template-free restore: checkpoints may carry extra state beyond what
+    # export needs (pretrain saves {params, opt_state, step}) and orbax
+    # StandardRestore rejects partial templates — read the raw tree and
+    # take only the weight collections
+    restored = restore_checkpoint(args.checkpoint, step)
+    variables = dict(variables,
+                     **{k: restored[k] for k in ("params", "batch_stats")
+                        if k in restored})
 
     if args.task == "pretrain":
         export_ecamp_pretrain(variables, args.output, epoch=args.epoch)

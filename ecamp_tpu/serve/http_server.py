@@ -49,13 +49,20 @@ def _jsonable(x):
 
 def _summarize_mask(mask: np.ndarray, threshold: float = 0.5) -> dict:
     """Masks are too large for JSON round-trips at serving granularity;
-    return the binarized area fraction + bounding box (clients needing the
-    full mask use the batch CLI)."""
-    binm = (mask[..., 0] if mask.ndim == 3 else mask) > threshold
-    ys, xs = np.nonzero(binm)
-    box = ([int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())]
-           if len(xs) else None)
-    return {"area_fraction": float(binm.mean()), "bbox_xyxy": box}
+    return the binarized area fraction + bounding box per channel (clients
+    needing the full mask use the batch CLI). Multi-channel masks (RIGA
+    dual disc/cup) summarize every channel."""
+    def one(m2d: np.ndarray) -> dict:
+        binm = m2d > threshold
+        ys, xs = np.nonzero(binm)
+        box = ([int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())]
+               if len(xs) else None)
+        return {"area_fraction": float(binm.mean()), "bbox_xyxy": box}
+
+    if mask.ndim == 3 and mask.shape[-1] > 1:
+        return {"channels": [one(mask[..., i])
+                             for i in range(mask.shape[-1])]}
+    return one(mask[..., 0] if mask.ndim == 3 else mask)
 
 
 class PredictionService:

@@ -52,7 +52,9 @@ def classifier_engine(checkpoint: str = "", num_classes: int = 14,
     variables = _load_params(variables, checkpoint, import_vit_classifier)
 
     def apply_fn(params, x):
-        return model.apply({"params": params}, x)
+        # fp32 on device before the host copy: bf16 logits would leave the
+        # served probabilities with only ~2-3 significant digits
+        return model.apply({"params": params}, x).astype(jnp.float32)
 
     post = sigmoid_np if multilabel else softmax_np
     return InferenceEngine(apply_fn, variables["params"], mesh=mesh,
@@ -163,8 +165,7 @@ def embedding_engine(checkpoint: str = "", img_size: int = 224,
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
         batch, mask_ratio=0.0, deterministic=True)
-    if checkpoint:
-        variables, _, _ = import_ecamp_pretrain(variables, checkpoint)
+    variables = _load_params(variables, checkpoint, import_ecamp_pretrain)
 
     def apply_fn(params, x):
         latent, _, _, _ = model.apply(

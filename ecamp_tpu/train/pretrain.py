@@ -75,9 +75,13 @@ class PretrainTask:
         restored moments)."""
         if self.mesh.shape.get(self.mesh.axis_names[1], 1) > 1:
             # tensor-parallel layout over the model axis (optax state
-            # inherits the param shardings through tx.init)
+            # inherits the param shardings through tx.init). Replicate
+            # everything first so non-param leaves (step, restored opt
+            # moments) are device-placed too — ZeRO-1's sharding snapshot
+            # in make_train_step reads .sharding off every leaf.
             from ..core.mesh import shard_params_tp
 
+            state = jax.device_put(state, replicated_sharding(self.mesh))
             params = shard_params_tp(self.mesh, state.params)
             state = state.replace(params=params)
             if reinit_opt:

@@ -164,3 +164,38 @@ def test_exported_pth_loads_into_serve_engine(tmp_path):
     want = sigmoid_np(np.asarray(model.apply(
         {"params": variables["params"]}, jnp.asarray(x))))
     np.testing.assert_allclose(eng(x), want, rtol=2e-5, atol=2e-6)
+
+
+def test_engine_empty_batch_returns_typed_empty():
+    eng, _ = _tiny_classifier_engine()
+    out = eng(np.zeros((0, 32, 32, 3), np.float32))
+    assert out.shape == (0, 3)
+
+
+def test_summarize_mask_dual_channels():
+    from ecamp_tpu.serve.http_server import _summarize_mask
+
+    m = np.zeros((8, 8, 2), np.float32)
+    m[2:4, 2:4, 1] = 1.0
+    s = _summarize_mask(m)
+    assert len(s["channels"]) == 2
+    assert s["channels"][0]["bbox_xyxy"] is None
+    assert s["channels"][1]["area_fraction"] > 0
+    assert s["channels"][1]["bbox_xyxy"] == [2, 2, 3, 3]
+    # single-channel shape unchanged
+    assert "area_fraction" in _summarize_mask(m[..., :1])
+
+
+def test_restore_without_template_returns_raw_tree(tmp_path):
+    from ecamp_tpu.ckpt import restore_checkpoint, save_checkpoint
+    from ecamp_tpu.ckpt.orbax_io import wait_for_saves
+
+    state = {"params": {"w": np.ones((2, 2), np.float32)},
+             "opt_state": {"mu": np.zeros((3,), np.float32)},
+             "step": 5}
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, 5, state)
+    wait_for_saves(d)
+    r = restore_checkpoint(d)
+    assert set(r) == {"params", "opt_state", "step"}
+    assert int(np.asarray(r["step"])) == 5
