@@ -42,7 +42,7 @@ PERIOD_ID = 16
 DIMINISH_WEIGHT = 0.05
 
 
-_LUT_CACHE: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
+_LUT_CACHE: Dict[int, Tuple[Dict[int, str], np.ndarray, np.ndarray]] = {}
 
 
 def _vocab_luts(idx_to_word: Dict[int, str], entities: frozenset
@@ -50,11 +50,17 @@ def _vocab_luts(idx_to_word: Dict[int, str], entities: frozenset
     """Per-vocab boolean lookup tables (is-'##'-continuation, is-entity),
     built once per tokenizer and cached — these replace the per-token dict
     lookups + string tests of the sequential walk (measured 2.7 ms/sample
-    -> ~0.2 ms)."""
-    key = (id(idx_to_word), len(idx_to_word))
+    -> ~0.2 ms).
+
+    The cache entry keeps a strong reference to the keying dict and
+    verifies identity on lookup: an id()-only key could alias a new dict
+    allocated at a garbage-collected dict's address and silently return
+    the wrong vocabulary's tables. Collisions overwrite the slot, so the
+    cache stays bounded by the number of live vocab dicts."""
+    key = id(idx_to_word)
     hit = _LUT_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is idx_to_word:
+        return hit[1], hit[2]
     size = max(idx_to_word) + 1
     cont = np.zeros((size,), np.bool_)
     ent = np.zeros((size,), np.bool_)
@@ -63,7 +69,7 @@ def _vocab_luts(idx_to_word: Dict[int, str], entities: frozenset
             cont[i] = True
         if w in entities:
             ent[i] = True
-    _LUT_CACHE[key] = (cont, ent)
+    _LUT_CACHE[key] = (idx_to_word, cont, ent)
     return cont, ent
 
 
@@ -221,7 +227,15 @@ def build_text_example(report: str, llm_output: str, tokenizer, rng: random.Rand
     enc = tokenizer.encode(sent, max_length=max_len, pad_to=max_len)
     idx_to_word = getattr(tokenizer, "ids_to_tokens", None)
     if idx_to_word is None:
-        idx_to_word = {v: k for k, v in tokenizer.get_vocab().items()}
+        # build the reverse vocab once and pin it on the tokenizer, so the
+        # LUT cache keys a long-lived dict instead of a fresh one per call
+        idx_to_word = getattr(tokenizer, "_ecamp_ids_to_tokens", None)
+        if idx_to_word is None:
+            idx_to_word = {v: k for k, v in tokenizer.get_vocab().items()}
+            try:
+                tokenizer._ecamp_ids_to_tokens = idx_to_word
+            except AttributeError:  # tokenizer with __slots__
+                pass
 
     weights, diminish_pos, diminish_cnt = template_weights(enc.ids, max_len)
     masked_ids, mask_pos = context_mask(enc.ids, idx_to_word, rng)

@@ -3,8 +3,11 @@
 Replaces torch DataLoader(num_workers=16) + DistributedSampler
 (main_pretrain.py:200-230): a thread-pool fetches+augments samples while
 the device computes; batches are stacked numpy dicts ready for
-mesh.shard_batch. Epoch shuffling matches DistributedSampler semantics
-(seeded permutation, per-process contiguous shard, drop_last).
+mesh.shard_batch. Epoch shuffling matches DistributedSampler semantics:
+seeded permutation, indices wrapped so every process receives the SAME
+number of samples (DistributedSampler pads by repeating from the start —
+unequal per-process batch counts would desynchronize the SPMD train step
+across hosts), strided per-process shard, drop_last.
 """
 
 from __future__ import annotations
@@ -22,6 +25,13 @@ def default_collate(samples) -> Dict[str, np.ndarray]:
     for k in samples[0]:
         out[k] = np.stack([s[k] for s in samples])
     return out
+
+
+class _ProducerError:
+    """Sentinel carrying a worker exception to the consuming thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
 
 
 class DataLoader:
@@ -53,13 +63,19 @@ class DataLoader:
         else:
             idx = np.arange(n)
         if self.process_count > 1:
+            # pad by wrapping so every process sees ceil(n/pc) samples
+            # (DistributedSampler semantics) — equal batch counts keep the
+            # multi-host SPMD step in lockstep
+            total = -(-n // self.process_count) * self.process_count
+            if total > n:
+                idx = np.concatenate([idx, idx[: total - n]])
             idx = idx[self.process_index::self.process_count]
         if self.drop_last:
             idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
         return idx
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.process_count
+        n = -(-len(self.dataset) // self.process_count)  # ceil, matches pad
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -73,14 +89,29 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that keeps checking `stop`: an abandoned iterator
+            # must not leave this thread parked forever in q.put
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, b))
-                    q.put(self.collate(samples))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, b))
+                        if not put(self.collate(samples)):
+                            return
+                put(None)
+            except BaseException as e:  # noqa: BLE001 - re-raised by consumer
+                put(_ProducerError(e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -89,6 +120,9 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, _ProducerError):
+                    raise RuntimeError(
+                        "DataLoader worker failed") from item.exc
                 yield item
         finally:
             stop.set()

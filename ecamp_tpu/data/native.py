@@ -119,7 +119,10 @@ def resize_norm(src: np.ndarray, box, out_size: int, mean: float, std: float,
     normalize. src: u8 HWC. Returns f32 (out, out, 3) or None if the
     library is unavailable."""
     lib = load_library()
-    if lib is None:
+    if lib is None or filter not in ("bilinear", "bicubic"):
+        # the C++ kernel implements only bilinear/bicubic; anything else
+        # (e.g. 'nearest') must take the PIL fallback so numerics match
+        # the configured interpolation regardless of whether the .so built
         return None
     src = np.ascontiguousarray(src, np.uint8)
     h, w = src.shape[:2]

@@ -56,10 +56,11 @@ class ClassificationTask:
         state = TrainState.create(variables["params"], self.tx)
         return jax.device_put(state, replicated_sharding(self.mesh))
 
-    def _loss(self, params, images, labels):
+    def _loss(self, params, images, labels, dropout_rng):
         logits = self.model.apply({"params": params}, images,
                                   deterministic=False,
-                                  stop_trunk_grad=self.cfg.linear_probe)
+                                  stop_trunk_grad=self.cfg.linear_probe,
+                                  rngs={"dropout": dropout_rng})
         if self.cfg.is_multilabel:
             loss = sigmoid_bce(logits, labels)
         else:
@@ -68,8 +69,10 @@ class ClassificationTask:
 
     def make_train_step(self):
         def step_fn(state: TrainState, images, labels):
+            drng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed),
+                                      state.step)
             (loss, _), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                state.params, images, labels)
+                state.params, images, labels, drng)
             new_state = state.replace(tx=self.tx).apply_gradients(grads)
             # step-based schedules count optimizer UPDATES; state.step
             # counts micro-steps under accumulation
@@ -101,6 +104,6 @@ class ClassificationTask:
         if self.cfg.is_multilabel:
             probs = 1.0 / (1.0 + np.exp(-np.asarray(logits, np.float64)))
             aucs = multilabel_auc(probs, labels)
-            return {"auc": float(np.mean(aucs)), "per_class_auc": aucs}
+            return {"auc": float(np.nanmean(aucs)), "per_class_auc": aucs}
         preds = np.argmax(logits, axis=-1)
         return {"acc": accuracy(preds, labels)}

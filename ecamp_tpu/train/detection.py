@@ -66,15 +66,16 @@ class DetectionTask:
                                   batch_stats=variables.get("batch_stats"))
         return jax.device_put(state, replicated_sharding(self.mesh))
 
-    def _loss(self, params, batch_stats, images, targets):
+    def _loss(self, params, batch_stats, images, targets, dropout_rng):
         outs, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
             train=True, mutable=["batch_stats"],
-            stop_trunk_grad=self.cfg.freeze_encoder)
+            stop_trunk_grad=self.cfg.freeze_encoder,
+            rngs={"dropout": dropout_rng})
         total = 0.0
         parts = {}
         for i, logits in enumerate(outs):
-            li, aux = yolo_loss(logits, targets, YOLO_ANCHORS[i],
+            li, _ = yolo_loss(logits, targets, YOLO_ANCHORS[i],
                                 self.cfg.img_size, self.cfg.num_classes)
             total = total + li
             parts[f"scale{i}"] = li
@@ -82,9 +83,11 @@ class DetectionTask:
 
     def make_train_step(self):
         def step_fn(state: TrainState, images, targets):
+            drng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed),
+                                      state.step)
             (loss, (new_stats, parts)), grads = jax.value_and_grad(
                 self._loss, has_aux=True)(state.params, state.batch_stats,
-                                          images, targets)
+                                          images, targets, drng)
             new_state = state.replace(tx=self.tx).apply_gradients(
                 grads, batch_stats=new_stats)
             upd = state.step // max(1, self.cfg.optimizer.accum_steps)

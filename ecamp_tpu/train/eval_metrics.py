@@ -37,8 +37,18 @@ def roc_auc(scores: np.ndarray, labels: np.ndarray) -> float:
 
 
 def multilabel_auc(scores: np.ndarray, labels: np.ndarray) -> List[float]:
-    """Per-class AUROC (Classification/train.py:65-71)."""
-    return [roc_auc(scores[:, i], labels[:, i]) for i in range(scores.shape[1])]
+    """Per-class AUROC (Classification/train.py:65-71).
+
+    A class whose eval split contains only one label value (common at 1%
+    data volume for rare findings) gets NaN instead of crashing the run;
+    average with nanmean."""
+    out = []
+    for i in range(scores.shape[1]):
+        try:
+            out.append(roc_auc(scores[:, i], labels[:, i]))
+        except ValueError:
+            out.append(float("nan"))
+    return out
 
 
 def accuracy(preds: np.ndarray, labels: np.ndarray) -> float:

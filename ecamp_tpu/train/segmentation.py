@@ -71,11 +71,12 @@ class SegmentationTask:
                                   batch_stats=variables.get("batch_stats"))
         return jax.device_put(state, replicated_sharding(self.mesh))
 
-    def _loss(self, params, batch_stats, images, masks):
+    def _loss(self, params, batch_stats, images, masks, dropout_rng):
         out, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
             train=True, mutable=["batch_stats"],
-            stop_trunk_grad=self.cfg.freeze_encoder)
+            stop_trunk_grad=self.cfg.freeze_encoder,
+            rngs={"dropout": dropout_rng})
         if self.dual:
             # masks: (B, H, W, 2) disc/cup channels (train_RIGA.py:243-276)
             disc, cup = out
@@ -91,9 +92,11 @@ class SegmentationTask:
 
     def make_train_step(self):
         def step_fn(state: TrainState, images, masks):
+            drng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed),
+                                      state.step)
             (loss, new_stats), grads = jax.value_and_grad(
                 self._loss, has_aux=True)(state.params, state.batch_stats,
-                                          images, masks)
+                                          images, masks, drng)
             new_state = state.replace(tx=self.tx).apply_gradients(
                 grads, batch_stats=new_stats)
             upd = state.step // max(1, self.cfg.optimizer.accum_steps)

@@ -299,3 +299,67 @@ def test_pretrain_dataset_bf16_images(tmp_path):
     assert b.dtype == ml_dtypes.bfloat16
     np.testing.assert_allclose(a.astype(ml_dtypes.bfloat16).astype(np.float32),
                                b.astype(np.float32))
+
+
+class _BoomDataset:
+    def __len__(self):
+        return 16
+
+    def __getitem__(self, i):
+        if i == 5:
+            raise OSError("corrupt image")
+        import numpy as np
+
+        return {"x": np.zeros((2,), np.float32)}
+
+
+def test_loader_worker_exception_propagates():
+    """A failing sample must raise in the consumer, not hang the epoch."""
+    from ecamp_tpu.data.loader import DataLoader
+
+    loader = DataLoader(_BoomDataset(), batch_size=4, shuffle=False,
+                        num_workers=2)
+    with pytest.raises(RuntimeError, match="DataLoader worker failed"):
+        for _ in loader:
+            pass
+
+
+class _TinyDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import numpy as np
+
+        return {"i": np.asarray([i], np.int64)}
+
+
+def test_loader_multiprocess_equal_batch_counts():
+    """DistributedSampler semantics: every process yields the same number
+    of batches (wrapped padding), and __len__ matches the iterator."""
+    from ecamp_tpu.data.loader import DataLoader
+
+    counts, seen = [], []
+    for pi in (0, 1):
+        loader = DataLoader(_TinyDataset(31), batch_size=8, shuffle=False,
+                            num_workers=1, process_index=pi, process_count=2)
+        batches = list(loader)
+        counts.append(len(batches))
+        assert len(loader) == len(batches)
+        seen.extend(int(b["i"][j, 0]) for b in batches
+                    for j in range(b["i"].shape[0]))
+    assert counts == [2, 2]
+    # all 31 samples covered at least once (one wraps)
+    assert set(range(31)) <= set(seen)
+
+
+def test_multilabel_auc_single_class_column_is_nan():
+    from ecamp_tpu.train.eval_metrics import multilabel_auc
+
+    scores = np.array([[0.2, 0.8], [0.7, 0.3], [0.4, 0.9]])
+    labels = np.array([[0, 1], [0, 0], [0, 1]])  # col 0 has no positives
+    aucs = multilabel_auc(scores, labels)
+    assert np.isnan(aucs[0]) and 0.0 <= aucs[1] <= 1.0
