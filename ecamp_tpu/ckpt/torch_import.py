@@ -114,6 +114,11 @@ def _default_key_fn(path: Tuple[str, ...]) -> str:
     joined = re.sub(r"decoder_(\d+)_bn", r"decoder_\1.1", joined)
     # yolo head cbl towers: embeddingN/cbl_i/{conv,bn} -> embeddingN.i.{conv,bn}
     joined = re.sub(r"embedding(\d+)\.cbl_(\d+)", r"embedding\1.\2", joined)
+    # ResNet-50 backbone (nn/resnet.py vs torchvision): layerN_M -> layerN.M,
+    # downsample_{conv,bn} -> downsample.{0,1}
+    joined = re.sub(r"layer(\d)_(\d+)", r"layer\1.\2", joined)
+    joined = joined.replace("downsample_conv", "downsample.0")
+    joined = joined.replace("downsample_bn", "downsample.1")
     torch_leaf = _LEAF_TO_TORCH.get(leaf, leaf)
     return f"{joined}.{torch_leaf}" if joined else torch_leaf
 

@@ -152,13 +152,21 @@ def _flash_attention_impl(q, k, v, bias, scale):
 
 
 def _xla_reference(q, k, v, bias, scale):
+    # mirrors attention.py::_xla_attention (which imports from this module,
+    # so it cannot be reused here): fp32 inputs need Precision.HIGHEST —
+    # the Pallas forward is engineered for ~1e-6 fp32 accuracy and the
+    # recompute-based backward must match, not fall back to bf16 passes
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=jnp.float32,
+                        precision=prec) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+                      preferred_element_type=jnp.float32,
+                      precision=prec).astype(q.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -109,7 +109,8 @@ class ECAMP(nn.Module):
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], mask_ratio: float = 0.75,
                  deterministic: bool = False,
-                 return_cross_probs: bool = False):
+                 return_cross_probs: bool = False,
+                 features_only: bool = False):
         c = self.vit
         big_imgs = batch["image"].astype(self.dtype)  # (N, 448, 448, 3)
         if big_imgs.shape[1] == c.img_size and big_imgs.shape[2] == c.img_size:
@@ -126,7 +127,8 @@ class ECAMP(nn.Module):
         outputs = {}
         if mask_ratio > 0:
             pred = self.image_decoder(latent, ids_restore, deterministic)
-            pred_img = unpatchify(pred.astype(self.dtype), c.patch_size)
+            pred_img = unpatchify(pred.astype(self.dtype), c.patch_size,
+                                  channels=c.in_chans)
             super_pred = SuperResolutionHead(self.sr_scale, c.in_chans,
                                              dtype=self.dtype,
                                              name="super_res")(pred_img)
@@ -143,6 +145,14 @@ class ECAMP(nn.Module):
                     name="bert_mlp")(latent)
         gap_token = lat[:, 1:, :].mean(axis=1, keepdims=True)
         patch_latent = lat[:, 1:, :]
+        if features_only:
+            # image-embedding serving path: the report-decoder bridge
+            # features without running the BERT stack. Only batch["image"]
+            # is required when mask_ratio == 0 (image_encoder cannot be an
+            # apply() method target — it builds submodules outside compact).
+            outputs["gap_feature"] = gap_token[:, 0]
+            outputs["patch_latent"] = patch_latent
+            return outputs
         has_loss = "labels" in batch and "weights" in batch
         use_fused = (has_loss and not return_cross_probs
                      and self._fused_ce_available())

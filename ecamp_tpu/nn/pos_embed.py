@@ -41,9 +41,12 @@ def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int,
 def interpolate_pos_embed(pos_embed: np.ndarray, new_grid: int,
                           num_extra_tokens: int = 1) -> np.ndarray:
     """Bicubic resize of the patch-token part of a (1, N+extra, D) pos embed
-    to a new grid resolution (reference util/pos_embed.py:75-96)."""
-    import jax
+    to a new grid resolution (reference util/pos_embed.py:75-96, which uses
+    torch F.interpolate bicubic — a=-0.75, NOT jax.image.resize's a=-0.5
+    Keys kernel; ops.image_ops carries the torch-kernel matrices)."""
     import jax.numpy as jnp
+
+    from ..ops.image_ops import resize_bicubic
 
     pos_embed = np.asarray(pos_embed)
     squeeze = pos_embed.ndim == 2
@@ -56,8 +59,8 @@ def interpolate_pos_embed(pos_embed: np.ndarray, new_grid: int,
     if orig == new_grid:
         return pos_embed[0] if squeeze else pos_embed
     grid = patch.reshape(1, orig, orig, d)
-    resized = jax.image.resize(jnp.asarray(grid), (1, new_grid, new_grid, d),
-                               method="bicubic")
+    resized = resize_bicubic(jnp.asarray(grid, jnp.float32),
+                             (new_grid, new_grid))
     out = np.concatenate(
         [extra, np.asarray(resized).reshape(1, new_grid * new_grid, d)], axis=1)
     return out[0] if squeeze else out

@@ -71,7 +71,8 @@ class ViTClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
-                 stop_trunk_grad: bool = False):
+                 stop_trunk_grad: bool = False,
+                 features_only: bool = False):
         tokens = VisionTransformer(self.cfg, dtype=self.dtype,
                                    name="trunk")(x, deterministic)
         if stop_trunk_grad:
@@ -88,21 +89,14 @@ class ViTClassifier(nn.Module):
             tokens = LayerNorm(self.cfg.norm_eps, dtype=self.dtype,
                                name="norm")(tokens)
             feat = tokens[:, 0]
+        if features_only:
+            # pooled pre-head feature (probing/analysis) — a flag rather
+            # than a separate method: flax allows only one compact method,
+            # and a non-compact method cannot build submodules
+            return feat
         logits = Dense(
             self.num_classes, dtype=jnp.float32,
             kernel_init=nn.initializers.truncated_normal(
                 stddev=self.head_init_std, lower=-2.0, upper=2.0),
             name="head")(feat.astype(jnp.float32))
         return logits
-
-    def features(self, x, deterministic: bool = True):
-        """Pooled pre-head feature (for probing/analysis)."""
-        tokens = VisionTransformer(self.cfg, dtype=self.dtype,
-                                   name="trunk")(x, deterministic)
-        if self.global_pool:
-            feat = tokens[:, 1:, :].mean(axis=1)
-            return LayerNorm(self.cfg.norm_eps, dtype=self.dtype,
-                             name="fc_norm")(feat)
-        tokens = LayerNorm(self.cfg.norm_eps, dtype=self.dtype,
-                           name="norm")(tokens)
-        return tokens[:, 0]

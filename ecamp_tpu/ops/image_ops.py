@@ -17,9 +17,42 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=None)
+def _torch_cubic_matrix(src: int, dst: int, a: float = -0.75) -> np.ndarray:
+    """(dst, src) matrix of torch's non-antialiased bicubic
+    (F.interpolate mode='bicubic', align_corners=False): cubic convolution
+    with a=-0.75 and border-replicated taps. jax.image.resize's 'bicubic'
+    is the Keys a=-0.5 kernel — different taps, so extracting jax's linear
+    map would NOT reproduce the reference resize (model_ecamp.py:318)."""
+    def w(x: np.ndarray) -> np.ndarray:
+        x = np.abs(x)
+        return np.where(
+            x <= 1.0, (a + 2.0) * x ** 3 - (a + 3.0) * x ** 2 + 1.0,
+            np.where(x < 2.0,
+                     a * x ** 3 - 5.0 * a * x ** 2 + 8.0 * a * x - 4.0 * a,
+                     0.0))
+
+    m = np.zeros((dst, src), np.float64)
+    scale = src / dst
+    for o in range(dst):
+        s = (o + 0.5) * scale - 0.5
+        i = int(np.floor(s))
+        t = s - i
+        taps = np.array([i - 1, i, i + 1, i + 2])
+        weights = w(np.array([1.0 + t, t, 1.0 - t, 2.0 - t]))
+        for tap, wt in zip(np.clip(taps, 0, src - 1), weights):
+            m[o, tap] += wt
+    return m.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def _resize_matrix(src: int, dst: int, method: str) -> np.ndarray:
-    """The (dst, src) matrix of the separable jax.image.resize linear map,
-    extracted by resizing the identity (exact by linearity)."""
+    """The (dst, src) matrix of the separable resize linear map: torch's
+    cubic-convolution weights for 'bicubic' (see _torch_cubic_matrix);
+    'bilinear'/others extracted from jax.image.resize by resizing the
+    identity (exact by linearity — jax's triangle kernel equals torch
+    bilinear align_corners=False)."""
+    if method == "bicubic":
+        return _torch_cubic_matrix(src, dst)
     # ensure_compile_time_eval: stays correct even if the first call happens
     # inside a jit trace (otherwise np.asarray would see a tracer)
     with jax.ensure_compile_time_eval():
@@ -40,8 +73,11 @@ def _resize_matmul(x: jnp.ndarray, size: Tuple[int, int],
     n, h, w, c = x.shape
     mh = jnp.asarray(_resize_matrix(h, size[0], method), x.dtype)
     mw = jnp.asarray(_resize_matrix(w, size[1], method), x.dtype)
-    y = jnp.einsum("oh,bhwc->bowc", mh, x)
-    return jnp.einsum("pw,bowc->bopc", mw, y)
+    # fp32 callers (parity/eval) get full-precision taps; the bf16 hot
+    # path keeps single-pass MXU matmuls (default precision)
+    prec = "highest" if x.dtype == jnp.float32 else None
+    y = jnp.einsum("oh,bhwc->bowc", mh, x, precision=prec)
+    return jnp.einsum("pw,bowc->bopc", mw, y, precision=prec)
 
 
 def resize_bicubic(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:

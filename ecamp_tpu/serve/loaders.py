@@ -168,10 +168,9 @@ def embedding_engine(checkpoint: str = "", img_size: int = 224,
     variables = _load_params(variables, checkpoint, import_ecamp_pretrain)
 
     def apply_fn(params, x):
-        latent, _, _, _ = model.apply(
-            {"params": params}, x, 0.0, True,
-            method=ECAMP.image_encoder)
-        feat = latent[:, 1:, :].mean(axis=1).astype(jnp.float32)
+        out = model.apply({"params": params}, {"image": x}, mask_ratio=0.0,
+                          deterministic=True, features_only=True)
+        feat = out["gap_feature"].astype(jnp.float32)
         return feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
 
     return InferenceEngine(apply_fn, variables["params"], mesh=mesh,
