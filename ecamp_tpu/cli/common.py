@@ -35,7 +35,7 @@ def setup_output(output_dir: str, args: argparse.Namespace,
     kv = {k: v if isinstance(v, (int, float, bool, type(None))) else str(v)
           for k, v in vars(args).items()}
     with open(os.path.join(output_dir, "args.json"), "w") as f:
-        json.dump({k: str(v) for k, v in kv.items()}, f, indent=2)
+        json.dump(kv, f, indent=2)
     with open(os.path.join(output_dir, "config.yaml"), "w") as f:
         for k in sorted(kv):
             v = kv[k]
@@ -110,3 +110,44 @@ def pad_eval_batch(x, batch_size: int):
         return x, n
     pad = np.zeros((batch_size - n,) + x.shape[1:], x.dtype)
     return np.concatenate([x, pad]), n
+
+
+def _train_sharder(mesh):
+    """Batch placer for fine-tune train loops: shard the leading dim over
+    the data axis (data parallelism, like pretrain). Single-process
+    batches that do not divide by the device count fall back to
+    replicated placement — correct, just not data-parallel (e.g. tiny
+    smoke batches smaller than the mesh). Multi-host runs always shard
+    (per-process loader shards assemble the global batch; the global
+    batch must divide by the device count there)."""
+    import jax as _jax
+
+    from ..core.mesh import shard_batch
+
+    ndata = mesh.shape[mesh.axis_names[0]]
+    multi = _jax.process_count() > 1
+
+    def place(x):
+        if multi or (x.shape[0] % ndata == 0):
+            return shard_batch(mesh, x)
+        return x
+
+    return place
+
+
+def _eval_sharder(mesh):
+    """Batch placer for eval loops: shard over the local mesh in
+    single-process runs (when the batch divides the device count); in
+    multi-host runs every process evaluates the identical full val set,
+    so batches stay host-local numpy and jit treats them as replicated
+    (sharding identical-per-host data with global-array assembly would
+    duplicate samples and make the outputs non-addressable)."""
+    import jax as _jax
+
+    from ..core.mesh import shard_batch
+
+    ndata = mesh.shape[mesh.axis_names[0]]
+    if _jax.process_count() == 1:
+        return lambda x: (shard_batch(mesh, x) if x.shape[0] % ndata == 0
+                          else x)
+    return lambda x: x

@@ -23,7 +23,8 @@ from ..data.datasets import ClassificationListDataset
 from ..data.loader import DataLoader
 from ..data.transforms import EvalTransform, TrainTransform
 from ..train.classification import ClassificationTask
-from .common import (EarlyStopper, add_common_args,
+from .common import (EarlyStopper, _eval_sharder, _train_sharder,
+                     add_common_args,
                      pad_eval_batch, setup_output)
 
 # task -> (num_classes, multilabel) (Classification/train.py:37-44,118-121)
@@ -83,11 +84,12 @@ def get_args():
 
 
 def evaluate(task: ClassificationTask, state, loader) -> dict:
+    sb = _eval_sharder(task.mesh)
     logits_all, labels_all = [], []
     bs = loader.batch_size
     for batch in loader:
         img, n = pad_eval_batch(batch["image"], bs)
-        logits = task.eval_step(state, img)
+        logits = task.eval_step(state, sb(img))
         logits_all.append(np.asarray(logits, np.float32)[:n])
         labels_all.append(batch["label"])
     logits = np.concatenate(logits_all)
@@ -133,7 +135,8 @@ def main():
     state = task.init_state(jax.random.PRNGKey(args.seed),
                             pretrained=args.pretrained)
     ckpt_dir = os.path.join(os.path.abspath(args.output_dir), "best")
-    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"),
+                        enabled=jax.process_index() == 0)
 
     if args.stage == "train":
         train_ds = ClassificationListDataset(list_path, args.dataset_path,
@@ -146,7 +149,9 @@ def main():
         micro_bs = max(1, args.batch_size
                        // max(1, args.gradient_accumulation_steps))
         train_loader = DataLoader(train_ds, micro_bs, shuffle=True,
-                                  seed=args.seed, num_workers=args.num_workers)
+                                  seed=args.seed, num_workers=args.num_workers,
+                                  process_index=jax.process_index(),
+                                  process_count=jax.process_count())
         val_loader = DataLoader(val_ds, args.eval_batch_size, shuffle=False,
                                 drop_last=False,
                                 num_workers=args.num_workers)
@@ -160,13 +165,16 @@ def main():
         accum = max(1, args.gradient_accumulation_steps)
         from ..ckpt import save_checkpoint
 
+        place = _train_sharder(task.mesh)
+
         while step < args.num_steps and not stopper.should_stop:
             train_loader.set_epoch(epoch)
             for batch in train_loader:
                 labels = batch["label"]
                 if not multilabel:
                     labels = labels.argmax(-1).astype(np.int32)
-                state, m = task.train_step(state, batch["image"], labels)
+                state, m = task.train_step(state, place(batch["image"]),
+                                           place(labels))
                 # one step in flight: sync the PREVIOUS step's
                 # metrics after this one is dispatched
                 if pending is not None:
@@ -177,8 +185,9 @@ def main():
                 if micro % accum != 0:
                     continue  # optimizer updates every accum micro-batches
                 step += 1
-                # validate every len(train_loader) steps (train.py:427,475)
-                if step % max(1, len(train_loader)) == 0:
+                # validate every epoch-equivalent of OPTIMIZER steps
+                # (train.py:427,475; len(train_loader) counts micro-batches)
+                if step % max(1, len(train_loader) // accum) == 0:
                     if pending is not None:
                         logger.update(loss=float(pending["loss"]),
                                       lr=float(pending["lr"]))

@@ -24,7 +24,8 @@ from ..data.datasets import (ObjectCXRDetectionDataset,
                              RSNADetectionDataset)
 from ..data.loader import DataLoader
 from ..train.detection import DetectionTask
-from .common import (EarlyStopper, add_common_args,
+from .common import (EarlyStopper, _eval_sharder, _train_sharder,
+                     add_common_args,
                      pad_eval_batch, setup_output)
 
 
@@ -75,11 +76,12 @@ def _gt_xyxy(targets: np.ndarray, img_size: int):
 
 
 def evaluate(task: DetectionTask, state, loader, img_size: int) -> float:
+    sb = _eval_sharder(task.mesh)
     all_dets, all_gts = [], []
     bs = loader.batch_size
     for batch in loader:
         img, n = pad_eval_batch(batch["image"], bs)
-        preds = task.eval_step(state, img)
+        preds = task.eval_step(state, sb(img))
         all_dets.extend(task.detections(preds[:n]))
         all_gts.extend(_gt_xyxy(batch["target"], img_size))
     return task.compute_map(all_dets, all_gts)
@@ -114,7 +116,8 @@ def main():
     state = task.init_state(jax.random.PRNGKey(args.seed),
                             pretrained=args.pretrained)
     ckpt_dir = os.path.join(os.path.abspath(args.output_dir), "best")
-    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"),
+                        enabled=jax.process_index() == 0)
 
     def make_ds(split):
         cls = (ObjectCXRDetectionDataset if args.task == "ObjectCXR"
@@ -127,6 +130,8 @@ def main():
         micro_bs = max(1, args.batch_size
                        // max(1, args.gradient_accumulation_steps))
         train_loader = DataLoader(make_ds("train"), micro_bs,
+                                  process_index=jax.process_index(),
+                                  process_count=jax.process_count(),
                                   shuffle=True, seed=args.seed,
                                   num_workers=args.num_workers)
         val_loader = DataLoader(make_ds("val"), args.eval_batch_size,
@@ -134,6 +139,8 @@ def main():
                                 num_workers=args.num_workers)
         stopper = EarlyStopper(args.patience, mode="max")
         from ..ckpt import save_checkpoint
+
+        place = _train_sharder(task.mesh)
 
         step, epoch = 0, 0
         if args.resume:
@@ -150,11 +157,15 @@ def main():
                               "batch_stats": state.batch_stats})
                 import jax.numpy as jnp
 
-                state = state.replace(params=restored["params"],
-                                      batch_stats=restored["batch_stats"],
-                                      step=jnp.asarray(best_step, jnp.int32))
+                accum_ = max(1, args.gradient_accumulation_steps)
+                state = state.replace(
+                    params=restored["params"],
+                    batch_stats=restored["batch_stats"],
+                    # state.step counts micro-steps; the checkpoint index
+                    # counts optimizer updates
+                    step=jnp.asarray(best_step * accum_, jnp.int32))
                 step = int(best_step)
-                epoch = step // max(1, len(make_ds("train")) // args.batch_size or 1)
+                epoch = step // max(1, len(train_loader) // accum_)
                 print(f"resumed from step {step}")
         logger = MetricLogger()
         pending = None
@@ -163,8 +174,8 @@ def main():
         while step < args.num_steps and not stopper.should_stop:
             train_loader.set_epoch(epoch)
             for batch in train_loader:
-                state, m = task.train_step(state, batch["image"],
-                                           batch["target"])
+                state, m = task.train_step(state, place(batch["image"]),
+                                           place(batch["target"]))
                 # one step in flight: sync the PREVIOUS step's
                 # metrics after this one is dispatched
                 if pending is not None:
@@ -175,7 +186,7 @@ def main():
                 if micro % accum != 0:
                     continue  # optimizer updates every accum micro-batches
                 step += 1
-                if step % max(1, len(train_loader)) == 0:
+                if step % max(1, len(train_loader) // accum) == 0:
                     if pending is not None:
                         logger.update(loss=float(pending["loss"]),
                                       lr=float(pending["lr"]))

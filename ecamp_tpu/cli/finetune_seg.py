@@ -23,7 +23,8 @@ from ..data.datasets import (RIGASegmentationDataset, RSNASegmentationDataset,
                              SIIMSegmentationDataset)
 from ..data.loader import DataLoader
 from ..train.segmentation import SegmentationTask
-from .common import (EarlyStopper, add_common_args,
+from .common import (EarlyStopper, _eval_sharder, _train_sharder,
+                     add_common_args,
                      pad_eval_batch, setup_output)
 
 DATASETS = {"SIIM": SIIMSegmentationDataset, "RSNA": RSNASegmentationDataset,
@@ -60,11 +61,12 @@ def get_args():
 
 
 def evaluate(task: SegmentationTask, state, loader) -> float:
+    sb = _eval_sharder(task.mesh)
     dices = []
     bs = loader.batch_size
     for batch in loader:
         img, n = pad_eval_batch(batch["image"], bs)
-        probs = task.eval_step(state, img)
+        probs = task.eval_step(state, sb(img))
         probs = tuple(p[:n] for p in probs) if task.dual else probs[:n]
         if task.dual:
             disc, cup = probs
@@ -110,7 +112,8 @@ def main():
                             pretrained=args.pretrained,
                             flavor=args.name)
     ckpt_dir = os.path.join(os.path.abspath(args.output_dir), "best")
-    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"),
+                        enabled=jax.process_index() == 0)
 
     def make_ds(split):
         return ds_cls(list_path, args.dataset_path, split,
@@ -122,6 +125,8 @@ def main():
         micro_bs = max(1, args.batch_size
                        // max(1, args.gradient_accumulation_steps))
         train_loader = DataLoader(make_ds("train"), micro_bs,
+                                  process_index=jax.process_index(),
+                                  process_count=jax.process_count(),
                                   shuffle=True, seed=args.seed,
                                   num_workers=args.num_workers)
         val_loader = DataLoader(make_ds("val"), args.eval_batch_size,
@@ -129,6 +134,8 @@ def main():
                                 num_workers=args.num_workers)
         stopper = EarlyStopper(args.patience, mode="max")
         from ..ckpt import save_checkpoint
+
+        place = _train_sharder(task.mesh)
 
         step, epoch = 0, 0
         logger = MetricLogger()
@@ -138,8 +145,8 @@ def main():
         while step < args.num_steps and not stopper.should_stop:
             train_loader.set_epoch(epoch)
             for batch in train_loader:
-                state, m = task.train_step(state, batch["image"],
-                                           batch["mask"])
+                state, m = task.train_step(state, place(batch["image"]),
+                                           place(batch["mask"]))
                 # one step in flight: sync the PREVIOUS step's
                 # metrics after this one is dispatched
                 if pending is not None:
@@ -150,7 +157,7 @@ def main():
                 if micro % accum != 0:
                     continue  # optimizer updates every accum micro-batches
                 step += 1
-                if step % max(1, len(train_loader)) == 0:
+                if step % max(1, len(train_loader) // accum) == 0:
                     if pending is not None:
                         logger.update(loss=float(pending["loss"]),
                                       lr=float(pending["lr"]))

@@ -93,13 +93,16 @@ def main():
 
     task = PretrainTask(pconf, steps_per_epoch=steps_per_epoch)
     rng = jax.random.PRNGKey(args.seed)
-    state = task.init_state(rng, pretrained=args.pretrained)
+    resume_pth = args.resume.endswith(".pth") if args.resume else False
+    # a .pth resume replaces the init import entirely — don't pay the full
+    # init + --pretrained import twice
+    state = task.init_state(
+        rng, pretrained=args.resume if resume_pth else args.pretrained)
 
     start_epoch = 0
     ckpt_dir = os.path.join(os.path.abspath(args.output_dir), "ckpt")
     if args.resume:
-        if args.resume.endswith(".pth"):
-            state = task.init_state(rng, pretrained=args.resume)
+        if resume_pth:
             # The reference restores optimizer + epoch when resuming its
             # OWN checkpoints (path starts './ECAMP', util/misc.py:331-338)
             # and leaves the optimizer cold for MAE-init. Mirror the gate
@@ -174,14 +177,19 @@ def main():
             if k in logger.meters:
                 tb.add_scalar(f"train/{k}", logger.meters[k].global_avg, epoch)
         tb.flush()
-        if epoch in ckpt_epochs and jax.process_index() == 0:
+        if epoch in ckpt_epochs:
             from ..ckpt import save_checkpoint
 
+            # pass the device arrays — orbax snapshots them itself and,
+            # for ZeRO-1-sharded moments or multi-host runs, gathers the
+            # non-addressable shards (device_get would crash there); every
+            # process must participate in the save
             save_checkpoint(ckpt_dir, int(state.step),
-                            {"params": jax.device_get(state.params),
-                             "opt_state": jax.device_get(state.opt_state),
+                            {"params": state.params,
+                             "opt_state": state.opt_state,
                              "step": int(state.step)})
-            print(f"saved checkpoint @ epoch {epoch}")
+            if jax.process_index() == 0:
+                print(f"saved checkpoint @ epoch {epoch}")
 
 
 if __name__ == "__main__":

@@ -78,9 +78,13 @@ def iter_paths(spec: str):
     else:
         with open(spec) as f:
             for line in f:
-                line = line.strip().split()[0] if line.strip() else ""
-                if line:
-                    yield line
+                line = line.strip()
+                if not line:
+                    continue
+                # path-per-line files may contain spaces; reference-style
+                # list files append label columns — prefer the full line
+                # when it exists on disk, else the first token
+                yield line if os.path.exists(line) else line.split()[0]
 
 
 def batch_predict(args, engine):

@@ -164,7 +164,7 @@ class PretrainConfig:
     max_caption_length: int = 256
     epochs: int = 120
     max_epoch: int = 200        # cosine horizon (run.sh:11 vs --epochs 120)
-    norm_pix_loss: bool = False  # parsed-but-unused in reference; honored here
+    norm_pix_loss: bool = False  # parsed-but-unused, like the reference (model_ecamp.py:100)
     seed: int = 0
     bf16: bool = True
     ckpt_dir: str = "checkpoints"

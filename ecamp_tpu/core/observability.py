@@ -51,11 +51,23 @@ def device_trace(log_dir: str, enabled: bool = True) -> Iterator[None]:
         return
     import jax
 
+    # only profiler START failures are swallowed; exceptions raised by the
+    # body must propagate (a catch-all around the yield would turn them
+    # into RuntimeError("generator didn't stop after throw()"))
+    started = False
     try:
-        with jax.profiler.trace(log_dir):
-            yield
+        jax.profiler.start_trace(log_dir)
+        started = True
     except Exception:
+        pass
+    try:
         yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
 
 
 @contextlib.contextmanager

@@ -98,6 +98,7 @@ def test_finetune_cls_cli_grad_accum(toy_cls_data, tmp_path, monkeypatch,
             (out / "log.txt").read_text().strip().splitlines()
             if l.strip().startswith("{") and "step" in l]
     steps = [r["step"] for r in recs if "step" in r]
-    # micro-batch 4 -> 4 micro-batches/epoch = len(train_loader); eval
-    # every len(train_loader)=4 UPDATES -> first eval at update 4
-    assert steps and steps[0] == 4, steps
+    # micro-batch 4 -> 4 micro-batches/epoch = len(train_loader); with
+    # accum=2 that is 2 OPTIMIZER updates per data epoch, and eval fires
+    # once per epoch-equivalent of updates -> first eval at update 2
+    assert steps and steps[0] == 2, steps
