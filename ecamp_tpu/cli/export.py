@@ -30,16 +30,25 @@ def get_args():
     p.add_argument("--img_size", type=int, default=224)
     p.add_argument("--expansion", type=int, default=4)
     p.add_argument("--epoch", type=int, default=None)
+    p.add_argument("--model", default="base",
+                   help="ViT trunk size (tiny|base|base_singlechannel|"
+                        "large|huge) — must match the checkpoint")
     return p.parse_args()
+
+
+_VIT_FACTORY = {"tiny": "vit_tiny", "base": "vit_base",
+                "base_singlechannel": "vit_base_singlechannel",
+                "large": "vit_large", "huge": "vit_huge"}
 
 
 def _template(args):
     from ..core import config as cfg
     from ..nn import ECAMP, DetectionModel, SegViT, ViTClassifier
 
+    vit_factory = getattr(cfg, _VIT_FACTORY[args.model])
     key = jax.random.PRNGKey(0)
     if args.task == "pretrain":
-        model = ECAMP(vit=cfg.ViTConfig(), decoder=cfg.MAEDecoderConfig(),
+        model = ECAMP(vit=vit_factory(), decoder=cfg.MAEDecoderConfig(),
                       bert=cfg.BertConfig())
         batch = {"image": jnp.zeros((1, 448, 448, 3)),
                  "ids": jnp.zeros((1, 4), jnp.int32),
@@ -49,7 +58,7 @@ def _template(args):
                  "row": jnp.zeros((1,), jnp.int32)}
         return model.init({"params": key, "masking": key}, batch,
                           mask_ratio=0.75, deterministic=True)
-    vcfg = cfg.ViTConfig(img_size=args.img_size)
+    vcfg = vit_factory(img_size=args.img_size)
     x = jnp.zeros((1, args.img_size, args.img_size, 3))
     if args.task == "classification":
         return ViTClassifier(vcfg, args.num_classes).init(key, x)
@@ -60,6 +69,9 @@ def _template(args):
 
 
 def main():
+    from ..core.mesh import enable_compilation_cache
+
+    enable_compilation_cache()
     args = get_args()
     from ..ckpt import (export_detector, export_ecamp_pretrain,
                         export_seg_vit, export_vit_classifier, latest_step,

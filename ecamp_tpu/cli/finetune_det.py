@@ -88,9 +88,10 @@ def evaluate(task: DetectionTask, state, loader, img_size: int) -> float:
 
 
 def main():
-    from ..core.mesh import initialize_distributed
+    from ..core.mesh import enable_compilation_cache, initialize_distributed
 
     initialize_distributed()  # before any backend query (misc.py:216-248 parity)
+    enable_compilation_cache()
     args = get_args()
     setup_output(args.output_dir, args)
     from ..data.assets import resolve_list_root

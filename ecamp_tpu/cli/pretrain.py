@@ -56,9 +56,10 @@ def get_args():
 
 
 def main():
-    from ..core.mesh import initialize_distributed
+    from ..core.mesh import enable_compilation_cache, initialize_distributed
 
     initialize_distributed()  # before any backend query (misc.py:216-248 parity)
+    enable_compilation_cache()
     args = get_args()
     setup_output(args.output_dir, args)
 

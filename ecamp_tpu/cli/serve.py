@@ -119,13 +119,18 @@ def batch_predict(args, engine):
 
 
 def main():
-    from ..core.mesh import initialize_distributed
+    from ..core.mesh import enable_compilation_cache, initialize_distributed
 
     initialize_distributed()
+    enable_compilation_cache()
     args = get_args()
     engine = build_engine(args)
     if args.images:
         return batch_predict(args, engine)
+    # compile every bucket before accepting traffic — a cold first request
+    # would otherwise stall multiple minutes on remote-TPU compiles
+    print(f"warming {len(engine.buckets)} buckets ...")
+    engine.warmup(np.zeros((1, args.img_size, args.img_size, 3), np.float32))
     from ..serve.http_server import PredictionService, serve
 
     service = PredictionService(engine, args.task, img_size=args.img_size,

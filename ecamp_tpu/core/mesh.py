@@ -22,6 +22,28 @@ from .config import MeshConfig
 _dist_initialized = False
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
+    """Persistent XLA compilation cache: repeat runs skip the 1-4 min
+    remote TPU compiles (the reference has no equivalent; torch re-JITs
+    nothing, but XLA pays per-process compiles). Env contract:
+    ECAMP_COMPILE_CACHE=<dir> overrides, ECAMP_COMPILE_CACHE=0 disables.
+    Called by every CLI right after initialize_distributed."""
+    import os
+
+    path = path or os.environ.get(
+        "ECAMP_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/ecamp_tpu/xla"))
+    if not path or path == "0":
+        return None
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - unknown flag on old jax
+        return None
+    return path
+
+
 def initialize_distributed(force: bool = False) -> None:
     """Multi-host bootstrap — the reference's init_distributed_mode
     (util/misc.py:216-248) detects OMPI / RANK+WORLD_SIZE / SLURM env vars

@@ -326,3 +326,19 @@ print(f"proc {pid}: OK", flush=True)
         out, err = p.communicate(timeout=600)
         assert p.returncode == 0 and f"proc {i}: OK" in out, \
             (i, out[-1000:], err[-1000:])
+
+
+def test_compilation_cache_config(tmp_path, monkeypatch):
+    import jax
+
+    from ecamp_tpu.core.mesh import enable_compilation_cache
+
+    d = str(tmp_path / "xlacache")
+    assert enable_compilation_cache(d) == d
+    assert jax.config.jax_compilation_cache_dir == d
+    import os
+
+    assert os.path.isdir(d)
+    # env disable
+    monkeypatch.setenv("ECAMP_COMPILE_CACHE", "0")
+    assert enable_compilation_cache() is None

@@ -102,3 +102,42 @@ def test_finetune_cls_cli_grad_accum(toy_cls_data, tmp_path, monkeypatch,
     # accum=2 that is 2 OPTIMIZER updates per data epoch, and eval fires
     # once per epoch-equivalent of updates -> first eval at update 2
     assert steps and steps[0] == 2, steps
+
+
+@pytest.mark.slow
+def test_export_cli_roundtrip(tmp_path, monkeypatch, capsys):
+    """ecamp-export: orbax cls checkpoint -> reference .pth, loadable by
+    real torch and by the importer."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from ecamp_tpu.ckpt import save_checkpoint
+    from ecamp_tpu.ckpt.orbax_io import wait_for_saves
+    from ecamp_tpu.cli import export as export_cli
+    from ecamp_tpu.core import config as cfg
+    from ecamp_tpu.nn import ViTClassifier
+
+    vcfg = cfg.vit_tiny(img_size=32)
+    model = ViTClassifier(vcfg, 3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ckdir = str(tmp_path / "best")
+    save_checkpoint(ckdir, 7, {"params": jax.device_get(variables["params"])})
+    wait_for_saves(ckdir)
+
+    out = str(tmp_path / "exported.pth")
+    monkeypatch.setattr(sys, "argv", [
+        "ecamp-export", "--task", "classification", "--checkpoint", ckdir,
+        "--output", out, "--num_classes", "3", "--img_size", "32",
+        "--model", "tiny"])
+    export_cli.main()
+    assert "exported classification weights" in capsys.readouterr().out
+
+    import torch
+
+    sd = torch.load(out, map_location="cpu", weights_only=True)
+    assert "head.weight" in sd and sd["head.weight"].shape == (3, 192)
+    np.testing.assert_array_equal(
+        sd["cls_token"].numpy(), np.asarray(variables["params"]["trunk"]
+                                            ["cls_token"]))
