@@ -342,3 +342,22 @@ def test_compilation_cache_config(tmp_path, monkeypatch):
     # env disable
     monkeypatch.setenv("ECAMP_COMPILE_CACHE", "0")
     assert enable_compilation_cache() is None
+
+
+def test_train_and_eval_sharders_divisibility():
+    import numpy as np
+
+    from ecamp_tpu.cli.common import _eval_sharder, _train_sharder
+    from ecamp_tpu.core.config import MeshConfig
+    from ecamp_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(data=8))
+    place = _train_sharder(mesh)
+    x8 = place(np.zeros((8, 4), np.float32))
+    assert "data" in str(x8.sharding.spec)
+    # indivisible batch falls back to host array (replicated by jit)
+    x3 = place(np.zeros((3, 4), np.float32))
+    assert isinstance(x3, np.ndarray)
+    ev = _eval_sharder(mesh)
+    assert "data" in str(ev(np.zeros((16, 4), np.float32)).sharding.spec)
+    assert isinstance(ev(np.zeros((5, 4), np.float32)), np.ndarray)
