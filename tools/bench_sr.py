@@ -6,7 +6,6 @@ Usage: python tools/bench_sr.py [B]
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 
