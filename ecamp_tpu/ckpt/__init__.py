@@ -4,6 +4,7 @@ from .torch_import import (
     import_vit_classifier,
     import_seg_vit,
     import_detector,
+    import_resnet_unet,
 )
 from .orbax_io import save_checkpoint, restore_checkpoint, latest_step
 from .torch_export import (

@@ -245,11 +245,53 @@ def import_seg_vit(variables, ckpt_path: str, from_pretrain: bool = True,
     return _apply_state(variables, state, pm, verbose)
 
 
+def _strip_prefixes(state: Dict[str, np.ndarray],
+                    prefixes) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in state.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+                break
+        out[k] = v
+    return out
+
+
+def _first_present(state: Dict[str, np.ndarray], candidates):
+    for c in candidates:
+        if c in state:
+            return c
+    return None
+
+
 def import_detector(variables, ckpt_path: str, from_pretrain: bool = True,
-                    verbose: bool = False):
+                    verbose: bool = False, backbone: str = "vit"):
     """Convention 4: pretrain keys -> backbone.encoder.*; fine-tuned ckpts
-    load the whole ModelMain tree."""
+    load the whole ModelMain tree.
+
+    backbone='resnet50' (baseline path, Detection/train.py:99-131) loads
+    torchvision-resnet50-style weights into the backbone: plain
+    `conv1/layer1.0...` keys, `model.`-prefixed (ResNetDetector.model) and
+    `module.img_encoder.`-wrapped spellings are all accepted; the YOLO
+    neck/head keeps its init (reference load is strict=False over backbone
+    keys only)."""
     state = _get_model_state(load_pth(ckpt_path))
+
+    if backbone == "resnet50":
+        state = _strip_prefixes(
+            state, ("module.img_encoder.", "img_encoder.", "gloria.img_encoder."))
+
+        def pm(key: str) -> Optional[str]:
+            if key.startswith("backbone."):
+                bare = key[len("backbone."):]
+                return _first_present(state, (bare, f"model.{bare}"))
+            if from_pretrain:
+                return None
+            if key.startswith("head."):
+                return _first_present(state, (key, key[len("head."):]))
+            return key
+
+        return _apply_state(variables, state, pm, verbose)
 
     def pm(key: str) -> Optional[str]:
         if key.startswith("backbone.encoder.trunk."):
@@ -262,6 +304,26 @@ def import_detector(variables, ckpt_path: str, from_pretrain: bool = True,
         if key.startswith("head."):
             return key[len("head."):]
         return key
+
+    return _apply_state(variables, state, pm, verbose)
+
+
+def import_resnet_unet(variables, ckpt_path: str, verbose: bool = False):
+    """ResNet-UNet baseline (Segmentation/train.py:139-180 smp.Unet path):
+    load torchvision-resnet50-style weights into the UNet's inline
+    encoder (conv1/bn1/layerN.M...); decoder + seg_head keep their init.
+    Accepts plain torchvision state dicts, smp `encoder.`-prefixed dicts,
+    and `module.img_encoder.model.`-wrapped baseline checkpoints."""
+    state = _get_model_state(load_pth(ckpt_path))
+    state = _strip_prefixes(
+        state, ("module.img_encoder.", "img_encoder.",
+                "gloria.img_encoder."))
+
+    def pm(key: str) -> Optional[str]:
+        if key.startswith(("decoder_", "seg_head.")):
+            return None
+        return _first_present(
+            state, (key, f"encoder.{key}", f"model.{key}"))
 
     return _apply_state(variables, state, pm, verbose)
 

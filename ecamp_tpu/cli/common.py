@@ -8,6 +8,7 @@ import os
 from typing import Optional
 
 import jax
+import numpy as np
 
 
 def add_common_args(p: argparse.ArgumentParser):
@@ -151,3 +152,142 @@ def _eval_sharder(mesh):
         return lambda x: (shard_batch(mesh, x) if x.shape[0] % ndata == 0
                           else x)
     return lambda x: x
+
+
+class Subset:
+    """View of a dataset restricted to an index array (eval sharding)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[i])]
+
+
+class ShardedEval:
+    """Split an eval set over processes; allgather per-sample results.
+
+    TPU-native improvement over the reference protocol (single-GPU eval,
+    Classification/run_ft.sh): instead of every process scoring the
+    identical full val set, process p evaluates the interleaved shard
+    indices[p::P], wrap-padded so every process runs the SAME number of
+    batches (collectives stay aligned), and per-sample result arrays are
+    reassembled into original dataset order host-side via
+    multihost_utils.process_allgather. Metric math is unchanged — it runs
+    on the full gathered set, identically on every process.
+
+    Single-process: local_indices is the identity and gather is a no-op,
+    so one code path serves both."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.pid = jax.process_index()
+        self.P = jax.process_count()
+        self.n_local = -(-n // self.P) if self.P > 1 else n
+
+    @property
+    def distributed(self) -> bool:
+        return self.P > 1
+
+    def local_indices(self) -> np.ndarray:
+        if not self.distributed:
+            return np.arange(self.n)
+        idx = np.arange(self.n)[self.pid::self.P]
+        if len(idx) < self.n_local:  # wrap-pad; trimmed again in gather
+            idx = np.concatenate([idx, idx[: self.n_local - len(idx)]])
+        return idx
+
+    def gather(self, arr: np.ndarray) -> np.ndarray:
+        """(n_local, ...) per-sample results -> (n, ...) in dataset order."""
+        arr = np.asarray(arr)
+        if not self.distributed:
+            return arr[: self.n]
+        from jax.experimental import multihost_utils
+
+        assert arr.shape[0] == self.n_local, (arr.shape, self.n_local)
+        g = np.asarray(multihost_utils.process_allgather(arr))
+        # g: (P, n_local, ...); original index i lives at g[i % P, i // P]
+        out = np.swapaxes(g, 0, 1).reshape((-1,) + g.shape[2:])
+        return out[: self.n]
+
+    def gather_ragged(self, items, cols: int):
+        """List of (k_i, cols) arrays (or None) -> global list in dataset
+        order. Fixed-shape encoding: lengths first (to agree on the global
+        max k), then zero-padded (n_local, K, cols) blocks."""
+        if not self.distributed:
+            return list(items)[: self.n]
+        from jax.experimental import multihost_utils
+
+        lengths = np.asarray([0 if it is None else len(it) for it in items],
+                             np.int32)
+        assert len(items) == self.n_local
+        all_len = self.gather(lengths)
+        # every process derives K from the same gathered lengths (wrap-pad
+        # rows duplicate real samples, so the trimmed max bounds them too)
+        k = max(int(all_len.max()) if len(all_len) else 0, 1)
+        packed = np.zeros((self.n_local, k, cols), np.float32)
+        for i, it in enumerate(items):
+            if it is not None and len(it):
+                packed[i, :len(it)] = np.asarray(it, np.float32)[:, :cols]
+        g = self.gather(packed)
+        return [g[i, :all_len[i]] if all_len[i] else None
+                for i in range(self.n)]
+
+
+def sharded_eval_loader(dataset, batch_size: int, num_workers: int):
+    """(DataLoader over this process's eval shard, ShardedEval gatherer)."""
+    from ..data.loader import DataLoader
+
+    se = ShardedEval(len(dataset))
+    loader = DataLoader(Subset(dataset, se.local_indices()), batch_size,
+                        shuffle=False, drop_last=False,
+                        num_workers=num_workers)
+    return loader, se
+
+
+def eval_state_and_sharder(task, state):
+    """(state, batch placer) for eval.
+
+    Single-process: unchanged — shard eval batches over the task mesh
+    when divisible. Multi-host: copy params/batch_stats to a process-
+    LOCAL mesh so eval launches are host-local; combined with ShardedEval
+    each process then scores only its 1/P of the val set (the task mesh's
+    global params would make every eval launch a cross-host collective,
+    forcing all processes to score identical data in lockstep)."""
+    import jax as _jax
+
+    if _jax.process_count() == 1:
+        return state, _eval_sharder(task.mesh)
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..core.mesh import data_sharding
+
+    local = np.asarray(_jax.local_devices()).reshape(-1, 1)
+    lmesh = Mesh(local, task.mesh.axis_names[:2]
+                 if len(task.mesh.axis_names) >= 2
+                 else (task.mesh.axis_names[0], "model"))
+    repl = NamedSharding(lmesh, P())
+
+    def localize(tree):
+        if tree is None:
+            return None
+        return _jax.tree_util.tree_map(
+            lambda a: _jax.device_put(np.asarray(_jax.device_get(a)), repl),
+            tree)
+
+    lstate = state.replace(params=localize(state.params))
+    if getattr(state, "batch_stats", None) is not None:
+        lstate = lstate.replace(batch_stats=localize(state.batch_stats))
+    ndata = local.shape[0]
+
+    def place(x):
+        if x.shape[0] % ndata == 0:
+            return _jax.device_put(x, data_sharding(lmesh, max(x.ndim, 1)))
+        return _jax.device_put(x, repl)
+
+    return lstate, place

@@ -23,9 +23,9 @@ from ..data.datasets import ClassificationListDataset
 from ..data.loader import DataLoader
 from ..data.transforms import EvalTransform, TrainTransform
 from ..train.classification import ClassificationTask
-from .common import (EarlyStopper, _eval_sharder, _train_sharder,
-                     add_common_args,
-                     pad_eval_batch, setup_output)
+from .common import (EarlyStopper, ShardedEval, _train_sharder,
+                     add_common_args, eval_state_and_sharder,
+                     pad_eval_batch, setup_output, sharded_eval_loader)
 
 # task -> (num_classes, multilabel) (Classification/train.py:37-44,118-121)
 TASKS = {
@@ -83,8 +83,9 @@ def get_args():
     return p.parse_args()
 
 
-def evaluate(task: ClassificationTask, state, loader) -> dict:
-    sb = _eval_sharder(task.mesh)
+def evaluate(task: ClassificationTask, state, loader,
+             se: ShardedEval = None) -> dict:
+    state, sb = eval_state_and_sharder(task, state)
     logits_all, labels_all = [], []
     bs = loader.batch_size
     for batch in loader:
@@ -94,6 +95,8 @@ def evaluate(task: ClassificationTask, state, loader) -> dict:
         labels_all.append(batch["label"])
     logits = np.concatenate(logits_all)
     labels = np.concatenate(labels_all)
+    if se is not None:  # multi-host: reassemble the full val set
+        logits, labels = se.gather(logits), se.gather(labels)
     if not task.cfg.is_multilabel:
         labels = labels.astype(np.int32).ravel() if labels.ndim == 1 else \
             labels.argmax(-1)
@@ -153,9 +156,8 @@ def main():
                                   seed=args.seed, num_workers=args.num_workers,
                                   process_index=jax.process_index(),
                                   process_count=jax.process_count())
-        val_loader = DataLoader(val_ds, args.eval_batch_size, shuffle=False,
-                                drop_last=False,
-                                num_workers=args.num_workers)
+        val_loader, val_se = sharded_eval_loader(val_ds, args.eval_batch_size,
+                                                 args.num_workers)
         stopper = EarlyStopper(args.patience, mode="max")
         metric_key = "auc" if multilabel else "acc"
         step = 0
@@ -193,7 +195,7 @@ def main():
                         logger.update(loss=float(pending["loss"]),
                                       lr=float(pending["lr"]))
                         pending = None
-                    metrics = evaluate(task, state, val_loader)
+                    metrics = evaluate(task, state, val_loader, val_se)
                     val = metrics[metric_key]
                     is_best = stopper.update(val)
                     jsonl.write({"step": step, metric_key: val,
@@ -219,9 +221,9 @@ def main():
     test_ds = ClassificationListDataset(list_path, args.dataset_path,
                                         args.task, "test", args.data_volume,
                                         et)
-    test_loader = DataLoader(test_ds, args.eval_batch_size, shuffle=False,
-                             drop_last=False, num_workers=args.num_workers)
-    metrics = evaluate(task, state, test_loader)
+    test_loader, test_se = sharded_eval_loader(test_ds, args.eval_batch_size,
+                                               args.num_workers)
+    metrics = evaluate(task, state, test_loader, test_se)
     if multilabel:
         names = CLASS_NAMES.get(args.task,
                                 [f"class_{i}" for i in range(num_classes)])

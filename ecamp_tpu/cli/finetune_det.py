@@ -24,9 +24,9 @@ from ..data.datasets import (ObjectCXRDetectionDataset,
                              RSNADetectionDataset)
 from ..data.loader import DataLoader
 from ..train.detection import DetectionTask
-from .common import (EarlyStopper, _eval_sharder, _train_sharder,
-                     add_common_args,
-                     pad_eval_batch, setup_output)
+from .common import (EarlyStopper, ShardedEval, _train_sharder,
+                     add_common_args, eval_state_and_sharder,
+                     pad_eval_batch, setup_output, sharded_eval_loader)
 
 
 def get_args():
@@ -38,7 +38,9 @@ def get_args():
     p.add_argument("--list_path", default="")
     p.add_argument("--img_size", type=int, default=224)
     p.add_argument("--model", default="base",
-                   choices=sorted(_VIT_FACTORY))
+                   choices=sorted(_VIT_FACTORY) + ["resnet50"],
+                   help="ViT variant, or 'resnet50' for the ResNetDetector "
+                        "baseline path (Detection/train.py:99-131)")
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--weight_decay", type=float, default=1e-6)
     p.add_argument("--warmup_steps", type=int, default=50)
@@ -75,8 +77,9 @@ def _gt_xyxy(targets: np.ndarray, img_size: int):
     return out
 
 
-def evaluate(task: DetectionTask, state, loader, img_size: int) -> float:
-    sb = _eval_sharder(task.mesh)
+def evaluate(task: DetectionTask, state, loader, img_size: int,
+             se: ShardedEval = None) -> float:
+    state, sb = eval_state_and_sharder(task, state)
     all_dets, all_gts = [], []
     bs = loader.batch_size
     for batch in loader:
@@ -84,6 +87,10 @@ def evaluate(task: DetectionTask, state, loader, img_size: int) -> float:
         preds = task.eval_step(state, sb(img))
         all_dets.extend(task.detections(preds[:n]))
         all_gts.extend(_gt_xyxy(batch["target"], img_size))
+    if se is not None:  # multi-host: reassemble the full val set
+        all_dets = se.gather_ragged(all_dets, cols=5)
+        all_gts = [g if g is not None else np.zeros((0, 4), np.float32)
+                   for g in se.gather_ragged(all_gts, cols=4)]
     return task.compute_map(all_dets, all_gts)
 
 
@@ -100,8 +107,11 @@ def main():
                                   "Detection", f"{args.task}/test_list.csv")
     expansion = 8 if args.data_volume in ("1", "10") else 4  # train.py:136
 
+    is_resnet = args.model == "resnet50"
+    vit_factory = _VIT_FACTORY["base" if is_resnet else args.model]
     dcfg = cfg.DetectionConfig(
-        vit=_VIT_FACTORY[args.model](img_size=args.img_size),
+        backbone="resnet50" if is_resnet else "vit",
+        vit=vit_factory(img_size=args.img_size),
         optimizer=cfg.OptimizerConfig(
             name="adamw", lr=args.lr, weight_decay=args.weight_decay,
             betas=(0.9, 0.999), schedule="warmup_cosine_step",
@@ -135,9 +145,8 @@ def main():
                                   process_count=jax.process_count(),
                                   shuffle=True, seed=args.seed,
                                   num_workers=args.num_workers)
-        val_loader = DataLoader(make_ds("val"), args.eval_batch_size,
-                                shuffle=False, drop_last=False,
-                                num_workers=args.num_workers)
+        val_loader, val_se = sharded_eval_loader(
+            make_ds("val"), args.eval_batch_size, args.num_workers)
         stopper = EarlyStopper(args.patience, mode="max")
         from ..ckpt import save_checkpoint
 
@@ -193,7 +202,8 @@ def main():
                                       lr=float(pending["lr"]))
                         pending = None
                     if epoch + 1 >= args.start_eval:
-                        ap = evaluate(task, state, val_loader, args.img_size)
+                        ap = evaluate(task, state, val_loader, args.img_size,
+                                      val_se)
                         is_best = stopper.update(ap)
                         jsonl.write({"step": step, "mAP": ap,
                                      "best": stopper.best})
@@ -218,10 +228,9 @@ def main():
                                       "batch_stats": state.batch_stats})
         state = state.replace(params=restored["params"],
                               batch_stats=restored["batch_stats"])
-    test_loader = DataLoader(make_ds("test"), args.eval_batch_size,
-                             shuffle=False, drop_last=False,
-                             num_workers=args.num_workers)
-    ap = evaluate(task, state, test_loader, args.img_size)
+    test_loader, test_se = sharded_eval_loader(
+        make_ds("test"), args.eval_batch_size, args.num_workers)
+    ap = evaluate(task, state, test_loader, args.img_size, test_se)
     print(f"TEST mAP@[.40:.05:.75]: {ap:.4f}")
     jsonl.write({"test_map": ap})
 

@@ -23,9 +23,9 @@ from ..data.datasets import (RIGASegmentationDataset, RSNASegmentationDataset,
                              SIIMSegmentationDataset)
 from ..data.loader import DataLoader
 from ..train.segmentation import SegmentationTask
-from .common import (EarlyStopper, _eval_sharder, _train_sharder,
-                     add_common_args,
-                     pad_eval_batch, setup_output)
+from .common import (EarlyStopper, ShardedEval, _train_sharder,
+                     add_common_args, eval_state_and_sharder,
+                     pad_eval_batch, setup_output, sharded_eval_loader)
 
 DATASETS = {"SIIM": SIIMSegmentationDataset, "RSNA": RSNASegmentationDataset,
             "RIGA": RIGASegmentationDataset}
@@ -39,7 +39,9 @@ def get_args():
     p.add_argument("--list_path", default="")
     p.add_argument("--img_size", type=int, default=224)
     p.add_argument("--model", default="base",
-                   choices=sorted(_VIT_FACTORY))
+                   choices=sorted(_VIT_FACTORY) + ["resnet50"],
+                   help="ViT variant, or 'resnet50' for the UNet baseline "
+                        "path (Segmentation/train.py:139-180)")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--warmup_steps", type=int, default=50)
@@ -60,8 +62,9 @@ def get_args():
     return p.parse_args()
 
 
-def evaluate(task: SegmentationTask, state, loader) -> float:
-    sb = _eval_sharder(task.mesh)
+def evaluate(task: SegmentationTask, state, loader,
+             se: ShardedEval = None) -> float:
+    state, sb = eval_state_and_sharder(task, state)
     dices = []
     bs = loader.batch_size
     for batch in loader:
@@ -78,7 +81,10 @@ def evaluate(task: SegmentationTask, state, loader) -> float:
         else:
             dices.append(task.compute_dice(np.asarray(probs)[..., 0],
                                            batch["mask"][..., 0]))
-    return float(np.concatenate(dices).mean())
+    per_sample = np.concatenate(dices)
+    if se is not None:  # multi-host: reassemble the full val set
+        per_sample = se.gather(per_sample)
+    return float(per_sample.mean())
 
 
 def main():
@@ -95,8 +101,11 @@ def main():
                                   f"{args.task}/test_list.csv")
     ds_cls = DATASETS[args.task]
 
+    is_resnet = args.model == "resnet50"
+    vit_factory = _VIT_FACTORY["base" if is_resnet else args.model]
     scfg = cfg.SegmentationConfig(
-        vit=_VIT_FACTORY[args.model](img_size=args.img_size),
+        backbone="resnet50" if is_resnet else "vit",
+        vit=vit_factory(img_size=args.img_size),
         optimizer=cfg.OptimizerConfig(
             name="adamw", lr=args.lr, weight_decay=args.weight_decay,
             betas=(0.9, 0.999), schedule="warmup_cosine_step",
@@ -130,9 +139,8 @@ def main():
                                   process_count=jax.process_count(),
                                   shuffle=True, seed=args.seed,
                                   num_workers=args.num_workers)
-        val_loader = DataLoader(make_ds("val"), args.eval_batch_size,
-                                shuffle=False, drop_last=False,
-                                num_workers=args.num_workers)
+        val_loader, val_se = sharded_eval_loader(
+            make_ds("val"), args.eval_batch_size, args.num_workers)
         stopper = EarlyStopper(args.patience, mode="max")
         from ..ckpt import save_checkpoint
 
@@ -163,7 +171,7 @@ def main():
                         logger.update(loss=float(pending["loss"]),
                                       lr=float(pending["lr"]))
                         pending = None
-                    dice = evaluate(task, state, val_loader)
+                    dice = evaluate(task, state, val_loader, val_se)
                     is_best = stopper.update(dice)
                     jsonl.write({"step": step, "dice": dice,
                                  "best": stopper.best})
@@ -187,10 +195,9 @@ def main():
                                       "batch_stats": state.batch_stats})
         state = state.replace(params=restored["params"],
                               batch_stats=restored["batch_stats"])
-    test_loader = DataLoader(make_ds("test"), args.eval_batch_size,
-                             shuffle=False, drop_last=False,
-                             num_workers=args.num_workers)
-    dice = evaluate(task, state, test_loader)
+    test_loader, test_se = sharded_eval_loader(
+        make_ds("test"), args.eval_batch_size, args.num_workers)
+    dice = evaluate(task, state, test_loader, test_se)
     print(f"TEST dice: {dice:.4f}")
     jsonl.write({"test_dice": dice})
 

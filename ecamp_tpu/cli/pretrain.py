@@ -171,8 +171,11 @@ def main():
         if pending is not None:
             logger.update(**{k: float(v) for k, v in pending.items()})
         logger.synchronize_between_processes()
+        from ..core.metrics import device_memory_mb
+
         record = {"epoch": epoch,
-                  **{k: m.global_avg for k, m in logger.meters.items()}}
+                  **{k: m.global_avg for k, m in logger.meters.items()},
+                  "max_mem_mb": device_memory_mb()}
         jsonl.write(record)
         for k in ("loss", "mim_loss", "res_loss", "mlm_loss", "lr"):
             if k in logger.meters:

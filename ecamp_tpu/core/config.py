@@ -215,6 +215,8 @@ class SegmentationConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     data: DataConfig = field(default_factory=DataConfig)
     task: str = "SIIM"           # SIIM | RSNA | RIGA
+    backbone: str = "vit"        # vit | resnet50 (smp.Unet baseline path,
+                                 # Segmentation/train.py:139-180)
     out_channels: int = 1        # RIGA uses dual single-channel decoders
     sample_rate: int = 4         # seg_head token upsample exponent (models_vit.py:35)
     decode_features: Tuple[int, ...] = (512, 256, 128, 64)
@@ -242,6 +244,8 @@ class DetectionConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     data: DataConfig = field(default_factory=DataConfig)
     task: str = "RSNA"
+    backbone: str = "vit"        # vit | resnet50 (ResNetDetector baseline,
+                                 # Detection/train.py:99-131)
     num_classes: int = 1
     img_size: int = 224
     max_objects: int = 10

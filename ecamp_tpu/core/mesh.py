@@ -201,6 +201,20 @@ def shard_params_tp(mesh: Mesh, params):
     return jax.tree_util.tree_map_with_path(put, params)
 
 
+def place_finetune_state(mesh: Mesh, state):
+    """Lay a fine-tune TrainState out on the mesh: replicated by default;
+    when the model axis is >1 the params get Megatron-style TP shardings
+    (tp_param_spec) and the optimizer state is re-initialized so the
+    moments inherit them. The fine-tune equivalent of
+    PretrainTask.place_state (SURVEY §2.9 TP growth hook)."""
+    state = jax.device_put(state, replicated_sharding(mesh))
+    if mesh.shape.get(mesh.axis_names[1], 1) > 1:
+        params = shard_params_tp(mesh, state.params)
+        state = state.replace(params=params,
+                              opt_state=state.tx.init(params))
+    return state
+
+
 def zero1_spec(shape, data_axis: str, n: int) -> P:
     """ZeRO-1 PartitionSpec for one optimizer-state leaf: shard the first
     axis divisible by the data-axis size; scalars and indivisible shapes

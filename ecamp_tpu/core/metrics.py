@@ -70,6 +70,22 @@ class SmoothedValue:
         )
 
 
+def device_memory_mb() -> float:
+    """Peak device-memory use of local device 0 in MiB, or 0.0 when the
+    backend exposes no memory stats (CPU; tunneled axon devices return
+    None — production TPU hosts report real HBM numbers). Equivalent of the reference's
+    per-iteration torch.cuda.max_memory_allocated (util/misc.py:156) — the
+    first number an operator wants when choosing remat/ZeRO-1 flags."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return 0.0
+    peak = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0))
+    return float(peak) / (1024.0 * 1024.0)
+
+
 class MetricLogger:
     """Iteration logger with iter/data timing (reference util/misc.py:86-167)."""
 
@@ -112,8 +128,11 @@ class MetricLogger:
             yield obj
             iter_time.update(time.time() - end)
             if i % print_freq == 0 or (total is not None and i == total - 1):
+                mem = device_memory_mb()
                 msg = [header, f"[{i}" + (f"/{total}]" if total else "]"), str(self),
                        f"time: {iter_time}", f"data: {data_time}"]
+                if mem > 0:  # max mem print parity (util/misc.py:156)
+                    msg.append(f"max mem: {mem:.0f}")
                 self.print_fn(self.delimiter.join(m for m in msg if m))
             i += 1
             end = time.time()

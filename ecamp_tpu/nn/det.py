@@ -212,6 +212,11 @@ class DetectionModel(nn.Module):
 
             x2, x1, x0 = ResNet50Backbone(dtype=self.dtype,
                                           name="backbone")(x, train)
+            if stop_trunk_grad:
+                # reference freezes the ENTIRE resnet img_encoder
+                # (Detection/train.py:126-127), so cut the backward pass
+                # at the taps (BN stats still update in train mode)
+                x2, x1, x0 = (jax.lax.stop_gradient(t) for t in (x2, x1, x0))
         else:
             x2, x1, x0 = ViTDetector(self.cfg, self.expansion,
                                      dtype=self.dtype, name="backbone")(

@@ -52,9 +52,12 @@ class Dropout(nn.Module):
     that is ~75 MB of u32 traffic per BERT-hidden dropout site and ~1 GB
     across the step's ~14 active sites (xprof, DESIGN.md). 16 bits halve
     it. The keep-threshold quantizes to 1/65536 (rate 0.1 ->
-    0.1000061...) — immaterial for a random regularizer; the 1/(1-rate)
-    scale stays exact. API-compatible with nn.Dropout (same 'dropout' rng
-    collection, same deterministic flag).
+    0.1000061...) — immaterial for a random regularizer — and the rescale
+    is derived from the *quantized* keep probability
+    (65536/(65536-thresh)), so E[dropout(x)] == x exactly. In particular
+    a rate small enough to round to thresh=0 becomes an exact identity
+    rather than a spurious up-scale. API-compatible with nn.Dropout (same
+    'dropout' rng collection, same deterministic flag).
     """
 
     rate: float
@@ -64,10 +67,12 @@ class Dropout(nn.Module):
         if deterministic or self.rate == 0.0:
             return x
         thresh = min(int(round(self.rate * 65536)), 65535)
+        if thresh == 0:
+            return x
         bits = jax.random.bits(self.make_rng("dropout"), x.shape,
                                dtype=jnp.uint16)
         keep = bits >= jnp.uint16(thresh)
-        scale = jnp.asarray(1.0 / (1.0 - self.rate), x.dtype)
+        scale = jnp.asarray(65536.0 / (65536 - thresh), x.dtype)
         return jnp.where(keep, x * scale, jnp.zeros_like(x))
 
 

@@ -55,6 +55,7 @@ class InferenceEngine:
         self.input_dtype = input_dtype
         self._lat_ms: list = []
         self._count = 0
+        self._bucket_hits = {b: 0 for b in self.buckets}
         self._lock = threading.Lock()
 
     # -- shape management ------------------------------------------------
@@ -98,6 +99,8 @@ class InferenceEngine:
             chunk = x[i:i + big]
             m = chunk.shape[0]
             b = self._bucket_for(m)
+            with self._lock:
+                self._bucket_hits[b] += 1
             if m < b:
                 pad = np.broadcast_to(chunk[-1:], (b - m,) + chunk.shape[1:])
                 chunk = np.concatenate([chunk, pad])
@@ -131,6 +134,8 @@ class InferenceEngine:
                 "latency_ms_p50": float(np.percentile(lat, 50)),
                 "latency_ms_p99": float(np.percentile(lat, 99)),
                 "buckets": list(self.buckets),
+                "bucket_hits": {str(b): n
+                                for b, n in self._bucket_hits.items()},
             }
 
 
@@ -180,13 +185,16 @@ class MicroBatcher:
                     self._cv.wait(timeout=left)
                 batch = self._queue[:self.max_batch]
                 self._queue = self._queue[self.max_batch:]
-            xs = np.stack([b[0] for b in batch])
+            # np.stack stays inside the try: one mis-shaped sample
+            # submitted through the public submit() API must fail its own
+            # batch's futures, not kill the batching thread forever.
             try:
+                xs = np.stack([b[0] for b in batch])
                 out = self.engine(xs)
                 for i, (_, fut) in enumerate(batch):
                     fut.set_result(jax.tree_util.tree_map(
                         lambda a: a[i], out))
-            except Exception as e:  # pragma: no cover - device failure path
+            except Exception as e:
                 for _, fut in batch:
                     fut.set_exception(e)
 

@@ -81,9 +81,15 @@ class PredictionService:
         self.batcher = (MicroBatcher(engine)
                         if micro_batch and task != "detection" else None)
 
+    def decode(self, images_b64) -> np.ndarray:
+        """Host-side decode+preprocess; raises on malformed input (400)."""
+        return np.stack([_decode_image(b, self.transform)
+                         for b in images_b64])
+
     def predict_b64(self, images_b64):
-        xs = np.stack([_decode_image(b, self.transform)
-                       for b in images_b64])
+        return self.predict(self.decode(images_b64))
+
+    def predict(self, xs: np.ndarray):
         if self.batcher is not None and len(xs) == 1:
             out = [self.batcher.submit(xs[0]).result(timeout=120)]
             outs = np.stack(out) if isinstance(out[0], np.ndarray) else out
@@ -130,14 +136,26 @@ def make_handler(service: PredictionService):
         def do_POST(self):
             if self.path != "/predict":
                 return self._send(404, {"error": "not found"})
+            # Malformed requests are the client's fault (400); anything
+            # else (engine crash, OOM, device failure) is a 500 whose
+            # detail stays in the server log, not the response body.
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
                 b64s = req.get("images") or [req["image"]]
-                preds = service.predict_b64(b64s)
+            except Exception as e:
+                return self._send(400, {"error": f"bad request: {e}"})
+            try:
+                xs = service.decode(b64s)
+            except Exception as e:
+                return self._send(400, {"error": f"bad image: {e}"})
+            try:
+                preds = service.predict(xs)
                 return self._send(200, {"predictions": preds})
             except Exception as e:
-                return self._send(400, {"error": str(e)})
+                import traceback
+                traceback.print_exc()
+                return self._send(500, {"error": type(e).__name__})
 
         def log_message(self, fmt, *args):  # quiet by default
             pass

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..core import config as cfglib
 from ..core.dtypes import policy
-from ..core.mesh import make_mesh, replicated_sharding
+from ..core.mesh import make_mesh, place_finetune_state
 from ..nn.vit import ViTClassifier
 from ..ops.losses import sigmoid_bce, softmax_cross_entropy
 from .eval_metrics import accuracy, multilabel_auc
@@ -54,7 +54,7 @@ class ClassificationTask:
             freeze_mask = flat
         self.tx = make_optimizer(c.optimizer, freeze_mask=freeze_mask)
         state = TrainState.create(variables["params"], self.tx)
-        return jax.device_put(state, replicated_sharding(self.mesh))
+        return place_finetune_state(self.mesh, state)
 
     def _loss(self, params, images, labels, dropout_rng):
         logits = self.model.apply({"params": params}, images,

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..core import config as cfglib
 from ..core.dtypes import policy
-from ..core.mesh import make_mesh, replicated_sharding
+from ..core.mesh import make_mesh, place_finetune_state
 from ..nn.det import DetectionModel, YOLO_ANCHORS
 from ..ops.boxes import average_precision, decode_yolo, nms
 from ..ops.yolo import yolo_loss
@@ -24,14 +24,18 @@ from .optim import make_optimizer, make_schedule
 from .state import TrainState
 
 
-def _det_freeze_mask(params, freeze_encoder: bool):
-    """True = trainable; freezes backbone.encoder.trunk
-    (Detection/train.py:169-174)."""
+def _det_freeze_mask(params, freeze_encoder: bool, backbone: str = "vit"):
+    """True = trainable. ViT path freezes backbone.encoder.trunk (det_head
+    stays trainable, Detection/train.py:169-174); the resnet50 baseline
+    freezes the ENTIRE backbone (train.py:126-127 sets requires_grad=False
+    on every img_encoder parameter)."""
     if not freeze_encoder:
         return None
 
     def fn(path, _):
         keys = [getattr(k, "key", "") for k in path]
+        if backbone == "resnet50":
+            return not (len(keys) >= 1 and keys[0] == "backbone")
         return not (len(keys) >= 3 and keys[0] == "backbone"
                     and keys[1] == "encoder" and keys[2] == "trunk")
 
@@ -45,6 +49,7 @@ class DetectionTask:
         pol = policy(cfg.bf16)
         self.model = DetectionModel(cfg.vit, num_classes=cfg.num_classes,
                                     expansion=cfg.expansion,
+                                    backbone=cfg.backbone,
                                     dtype=pol.compute_dtype)
         self.schedule = make_schedule(cfg.optimizer)
         self._train_step = None
@@ -59,12 +64,14 @@ class DetectionTask:
             from ..ckpt import import_detector
 
             variables, _, _ = import_detector(variables, pretrained,
-                                              from_pretrain=from_pretrain)
-        mask = _det_freeze_mask(variables["params"], c.freeze_encoder)
+                                              from_pretrain=from_pretrain,
+                                              backbone=c.backbone)
+        mask = _det_freeze_mask(variables["params"], c.freeze_encoder,
+                                c.backbone)
         self.tx = make_optimizer(c.optimizer, freeze_mask=mask)
         state = TrainState.create(variables["params"], self.tx,
                                   batch_stats=variables.get("batch_stats"))
-        return jax.device_put(state, replicated_sharding(self.mesh))
+        return place_finetune_state(self.mesh, state)
 
     def _loss(self, params, batch_stats, images, targets, dropout_rng):
         outs, mutated = self.model.apply(

@@ -15,7 +15,7 @@ import numpy as np
 
 from ..core import config as cfglib
 from ..core.dtypes import policy
-from ..core.mesh import make_mesh, replicated_sharding
+from ..core.mesh import make_mesh, place_finetune_state
 from ..nn.seg import SegViT, SegViTDual
 from ..ops.losses import mixed_loss
 from .eval_metrics import dice_scores
@@ -42,11 +42,23 @@ class SegmentationTask:
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         pol = policy(cfg.bf16)
         self.dual = cfg.task.upper() == "RIGA"
-        cls = SegViTDual if self.dual else SegViT
-        self.model = cls(cfg.vit, out_channels=cfg.out_channels,
-                         sample_rate=cfg.sample_rate,
-                         features=tuple(cfg.decode_features),
-                         dtype=pol.compute_dtype)
+        self.resnet = cfg.backbone == "resnet50"
+        if self.resnet:
+            # smp.Unet baseline path (Segmentation/train.py:139-180);
+            # trains end-to-end — the reference freezes nothing here
+            if self.dual:
+                raise ValueError("resnet50 baseline supports single-decoder "
+                                 "tasks only (SIIM/RSNA)")
+            from ..nn.unet import ResNetUNet
+
+            self.model = ResNetUNet(out_channels=cfg.out_channels,
+                                    dtype=pol.compute_dtype)
+        else:
+            cls = SegViTDual if self.dual else SegViT
+            self.model = cls(cfg.vit, out_channels=cfg.out_channels,
+                             sample_rate=cfg.sample_rate,
+                             features=tuple(cfg.decode_features),
+                             dtype=pol.compute_dtype)
         self.schedule = make_schedule(cfg.optimizer)
         self._train_step = None
         self._eval_step = None
@@ -60,23 +72,32 @@ class SegmentationTask:
         x = jnp.zeros((2, c.data.img_size, c.data.img_size, 3))
         variables = self.model.init(rng, x, train=False)
         if pretrained and flavor != "random":
-            from ..ckpt import import_seg_vit
+            if self.resnet:
+                from ..ckpt import import_resnet_unet
 
-            variables, _, _ = import_seg_vit(variables, pretrained,
-                                             from_pretrain=from_pretrain,
-                                             flavor=flavor)
-        mask = _seg_freeze_mask(variables["params"], c.freeze_encoder)
+                variables, _, _ = import_resnet_unet(variables, pretrained)
+            else:
+                from ..ckpt import import_seg_vit
+
+                variables, _, _ = import_seg_vit(variables, pretrained,
+                                                 from_pretrain=from_pretrain,
+                                                 flavor=flavor)
+        # the resnet baseline trains end-to-end (no freeze branch in the
+        # reference's smp path, Segmentation/train.py:139-180)
+        mask = (None if self.resnet
+                else _seg_freeze_mask(variables["params"], c.freeze_encoder))
         self.tx = make_optimizer(c.optimizer, freeze_mask=mask)
         state = TrainState.create(variables["params"], self.tx,
                                   batch_stats=variables.get("batch_stats"))
-        return jax.device_put(state, replicated_sharding(self.mesh))
+        return place_finetune_state(self.mesh, state)
 
     def _loss(self, params, batch_stats, images, masks, dropout_rng):
+        kwargs = ({} if self.resnet
+                  else {"stop_trunk_grad": self.cfg.freeze_encoder})
         out, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
             train=True, mutable=["batch_stats"],
-            stop_trunk_grad=self.cfg.freeze_encoder,
-            rngs={"dropout": dropout_rng})
+            rngs={"dropout": dropout_rng}, **kwargs)
         if self.dual:
             # masks: (B, H, W, 2) disc/cup channels (train_RIGA.py:243-276)
             disc, cup = out

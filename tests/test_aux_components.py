@@ -2,6 +2,7 @@
 orbax round-trip, graft entry."""
 
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -110,6 +111,59 @@ def test_orbax_roundtrip(tmp_path):
     out = restore_checkpoint(d, template=state)
     np.testing.assert_array_equal(out["params"]["w"], state["params"]["w"])
     assert int(out["step"]) == 5
+
+
+def test_device_memory_meter(monkeypatch):
+    """log_every prints a 'max mem:' column when the backend reports
+    memory (reference util/misc.py:156 parity); device_memory_mb returns
+    0.0 gracefully on backends without memory_stats (CPU)."""
+    from ecamp_tpu.core import metrics
+
+    assert metrics.device_memory_mb() >= 0.0
+
+    monkeypatch.setattr(metrics, "device_memory_mb", lambda: 123.0)
+    lines = []
+    logger = metrics.MetricLogger(print_fn=lines.append)
+    for _ in logger.log_every(range(3), 1, header="t"):
+        logger.update(loss=1.0)
+    assert any("max mem: 123" in ln for ln in lines)
+
+    monkeypatch.setattr(metrics, "device_memory_mb", lambda: 0.0)
+    lines.clear()
+    logger = metrics.MetricLogger(print_fn=lines.append)
+    for _ in logger.log_every(range(2), 1):
+        pass
+    assert not any("max mem" in ln for ln in lines)
+
+
+def test_orbax_async_save_survives_donated_buffers(tmp_path):
+    """Pin the orbax invariant the pretrain save path relies on: an async
+    CheckpointManager.save must snapshot device arrays to host before
+    returning, because every train step donates the state
+    (donate_argnums=(0,)) and the very next step invalidates the saved
+    state's buffers. If an orbax upgrade ever makes the snapshot lazy,
+    this test catches it (restore would see clobbered/poisoned data)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecamp_tpu.ckpt import restore_checkpoint, save_checkpoint
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state):
+        return jax.tree_util.tree_map(lambda a: a * -7.0 + 1.0, state)
+
+    state = {"w": jnp.arange(1024, dtype=jnp.float32).reshape(32, 32),
+             "m": jnp.full((8, 8), 3.0)}
+    state = step(state)  # make buffers the product of a donating step
+    expect = jax.tree_util.tree_map(np.asarray, state)
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 1, state)  # async: returns before files exist
+    # immediately clobber the donated buffers with further steps
+    for _ in range(4):
+        state = step(state)
+    out = restore_checkpoint(d, template={"w": expect["w"], "m": expect["m"]})
+    np.testing.assert_array_equal(np.asarray(out["w"]), expect["w"])
+    np.testing.assert_array_equal(np.asarray(out["m"]), expect["m"])
 
 
 def test_graft_entry_single():

@@ -1,0 +1,201 @@
+"""Multi-host eval sharding (TPU-native improvement over the reference's
+replicate-the-val-set protocol): ShardedEval index/gather math, ragged
+detection gather, and a REAL 2-process CPU run asserting identical
+results to single-process evaluation."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ecamp_tpu.cli.common import ShardedEval, Subset
+
+
+def test_sharded_eval_single_process_is_identity():
+    se = ShardedEval(11)
+    assert not se.distributed
+    np.testing.assert_array_equal(se.local_indices(), np.arange(11))
+    arr = np.random.default_rng(0).standard_normal((11, 3))
+    np.testing.assert_array_equal(se.gather(arr), arr)
+    items = [np.ones((2, 5)), None] * 5 + [np.zeros((1, 5))]
+    out = se.gather_ragged(items, cols=5)
+    assert len(out) == 11 and out[1] is None
+
+
+def test_subset_views_dataset():
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    sub = Subset(DS(), [3, 7, 1])
+    assert len(sub) == 3
+    assert sub[0]["x"][0] == 3 and sub[2]["x"][0] == 1
+
+
+class _FakeMultihost:
+    """Monkeypatch stand-in: P simulated processes; each ShardedEval is
+    given its pid and allgather returns the stacked per-process arrays
+    recorded by a shared registry keyed on call order."""
+
+    def __init__(self, per_process_arrays):
+        self.arrays = per_process_arrays  # list over processes
+
+    def process_allgather(self, arr):
+        return np.stack(self.arrays.pop(0))
+
+
+def _simulated(n, P, fn, ragged=False, cols=5):
+    """Run ShardedEval on a simulated P-process world and return the
+    gathered result as seen by process 0."""
+    shards = []
+    ses = []
+    for pid in range(P):
+        se = ShardedEval.__new__(ShardedEval)
+        se.n, se.pid, se.P = n, pid, P
+        se.n_local = -(-n // P)
+        ses.append(se)
+        shards.append(fn(se.local_indices()))
+
+    import jax.experimental.multihost_utils as mh
+
+    orig = mh.process_allgather
+    results = None
+    try:
+        if ragged:
+            # gather_ragged performs one allgather (lengths) then another
+            # (packed); emulate both rounds for process 0's view
+            lengths = [np.asarray([0 if it is None else len(it)
+                                   for it in sh], np.int32)
+                       for sh in shards]
+            mh.process_allgather = lambda arr: np.stack(lengths)
+            se0 = ses[0]
+            all_len = se0.gather(lengths[0])
+            k = max(int(all_len.max()) if len(all_len) else 0, 1)
+            packs = []
+            for sh in shards:
+                p = np.zeros((se0.n_local, k, cols), np.float32)
+                for i, it in enumerate(sh):
+                    if it is not None and len(it):
+                        p[i, :len(it)] = np.asarray(it, np.float32)[:, :cols]
+                packs.append(p)
+            mh.process_allgather = lambda arr: np.stack(packs)
+            g = se0.gather(packs[0])
+            results = [g[i, :all_len[i]] if all_len[i] else None
+                       for i in range(n)]
+        else:
+            mh.process_allgather = lambda arr: np.stack(shards)
+            results = ses[0].gather(shards[0])
+    finally:
+        mh.process_allgather = orig
+    return results
+
+
+@pytest.mark.parametrize("n,P", [(7, 2), (8, 2), (5, 4), (9, 3)])
+def test_sharded_eval_gather_restores_order(n, P):
+    def fn(idx):
+        return np.stack([np.array([i * 10.0, i + 0.5]) for i in idx])
+
+    out = _simulated(n, P, fn)
+    expect = np.stack([np.array([i * 10.0, i + 0.5]) for i in range(n)])
+    np.testing.assert_allclose(out, expect)
+
+
+def test_sharded_eval_gather_ragged_detections():
+    n, P = 7, 2
+
+    def fn(idx):
+        return [np.full((int(i % 3), 5), float(i), np.float32)
+                if i % 3 else None for i in idx]
+
+    out = _simulated(n, P, fn, ragged=True)
+    for i in range(n):
+        k = i % 3
+        if k == 0:
+            assert out[i] is None
+        else:
+            np.testing.assert_allclose(out[i], np.full((k, 5), float(i)))
+
+
+@pytest.mark.slow
+def test_two_process_sharded_eval_matches_single():
+    """VERDICT r2 #4 'done' criterion: 2 processes, each scoring ~1/2 of
+    the eval set through a LOCALLY-meshed model (eval_state_and_sharder),
+    gather -> result identical to single-process evaluation."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    code = r'''
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_num_cpu_devices", 4)
+from ecamp_tpu.core.mesh import initialize_distributed, make_mesh, replicate
+initialize_distributed()
+import numpy as np
+from ecamp_tpu.cli.common import ShardedEval, eval_state_and_sharder
+from ecamp_tpu.core.config import MeshConfig
+assert jax.process_count() == 2 and jax.device_count() == 8
+n = 7
+se = ShardedEval(n)
+assert se.distributed and se.n_local == 4
+
+mesh = make_mesh(MeshConfig(data=8))
+
+class FakeState:
+    def __init__(self, params, batch_stats=None):
+        self.params, self.batch_stats = params, batch_stats
+    def replace(self, **kw):
+        out = FakeState(self.params, self.batch_stats)
+        for k, v in kw.items():
+            setattr(out, k, v)
+        return out
+
+class FakeTask:
+    pass
+
+task = FakeTask()
+task.mesh = mesh
+state = FakeState(replicate(mesh, {"w": np.float32(2.0)}))
+lstate, place = eval_state_and_sharder(task, state)
+fn = jax.jit(lambda w, x: w * x)
+outs = []
+for i in se.local_indices():
+    x = place(np.full((4, 3), float(i), np.float32))
+    outs.append(float(np.asarray(fn(lstate.params["w"], x))[0, 0]))
+per_sample = np.asarray(outs, np.float32)
+full = se.gather(per_sample)
+np.testing.assert_allclose(full, np.arange(n, dtype=np.float32) * 2.0)
+
+# ragged gather (detections): k_i = i %% 3 boxes valued i
+dets = [np.full((int(i % 3), 5), float(i), np.float32) if i % 3 else None
+        for i in se.local_indices()]
+g = se.gather_ragged(dets, 5)
+for i in range(n):
+    k = i % 3
+    if k == 0:
+        assert g[i] is None
+    else:
+        np.testing.assert_allclose(g[i], np.full((k, 5), float(i)))
+print(f"proc {jax.process_index()}: EVALSHARD_OK", flush=True)
+'''
+    procs = []
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for i in range(2):
+        env = dict(os.environ, JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(i))
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen([sys.executable, "-c", code], env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, text=True,
+                                      cwd=root))
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0 and f"proc {i}: EVALSHARD_OK" in out, \
+            (i, out[-1000:], err[-1000:])

@@ -44,6 +44,9 @@ def test_engine_bucketing_matches_direct_apply():
     s = eng.stats()
     assert s["requests"] == 1 + 3 + 4 + 8 + 19
     assert s["buckets"] == [4, 8]
+    # bucket hit counts: n=1,3,4 -> bucket 4 (x3); n=8 -> bucket 8;
+    # n=19 -> chunks 8+8+3 (buckets 8,8,4)
+    assert s["bucket_hits"] == {"4": 4, "8": 3}
 
 
 def test_engine_buckets_round_up_to_mesh():
@@ -66,6 +69,24 @@ def test_microbatcher_coalesces_and_matches():
     mb.close()
     with pytest.raises(RuntimeError):
         mb.submit(xs[0])
+
+
+def test_microbatcher_survives_bad_sample():
+    """A mis-shaped sample must fail its own future, not kill the batching
+    thread (np.stack raises inside the worker loop)."""
+    eng, direct = _tiny_classifier_engine()
+    mb = MicroBatcher(eng, max_batch=2, max_wait_ms=20.0)
+    try:
+        bad = mb.submit(np.zeros((7, 7), np.float32))
+        with pytest.raises(Exception):
+            bad.result(timeout=30)
+        # the worker is still alive and serves subsequent requests
+        x = np.zeros((32, 32, 3), np.float32)
+        out = mb.submit(x).result(timeout=30)
+        np.testing.assert_allclose(out, direct(x[None])[0],
+                                   rtol=2e-5, atol=2e-6)
+    finally:
+        mb.close()
 
 
 def test_postprocess_applied():
@@ -105,7 +126,41 @@ def test_http_server_end_to_end(tmp_path):
         assert len(preds) == 1 and len(preds[0]["probs"]) == 3
         assert set(preds[0]["labels"]) == {"a", "b", "c"}
         with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
-            assert json.load(r)["requests"] >= 1
+            stats = json.load(r)
+        assert stats["requests"] >= 1
+        assert sum(int(v) for v in stats["bucket_hits"].values()) >= 1
+
+        def post(body: bytes):
+            r = urllib.request.Request(
+                f"{base}/predict", data=body,
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(r, timeout=30) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        # malformed request body / undecodable image -> 400 (client fault)
+        assert post(b"{not json") == 400
+        assert post(json.dumps({"image": "AAAA"}).encode()) == 400
+        # internal failure -> 500, error detail not leaked to the client
+        orig_predict = service.predict
+        service.predict = lambda xs: (_ for _ in ()).throw(
+            RuntimeError("/secret/device/path exploded"))
+        buf2 = io.BytesIO()
+        Image.fromarray(np.full((40, 40, 3), 64, np.uint8)).save(buf2, "PNG")
+        body = json.dumps(
+            {"image": base64.b64encode(buf2.getvalue()).decode()}).encode()
+        req500 = urllib.request.Request(
+            f"{base}/predict", data=body,
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req500, timeout=30):
+                raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "secret" not in e.read().decode()
+        service.predict = orig_predict
     finally:
         httpd.shutdown()
         service.close()
