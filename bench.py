@@ -38,8 +38,10 @@ STEPS = 10
 
 def make_task():
     from ecamp_tpu.core import config as cfg
+    from ecamp_tpu.core.mesh import enable_compilation_cache
     from ecamp_tpu.train.pretrain import PretrainTask
 
+    enable_compilation_cache()  # repeat runs skip the multi-minute compile
     pcfg = cfg.PretrainConfig()
     task = PretrainTask(pcfg, steps_per_epoch=1000)
     state = task.init_state(jax.random.PRNGKey(0))

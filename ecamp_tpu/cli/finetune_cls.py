@@ -71,6 +71,9 @@ def get_args():
     p.add_argument("--num_steps", type=int, default=3000)
     p.add_argument("--decay_type", default="cosine", choices=["cosine", "linear"])
     p.add_argument("--linear_probe", action="store_true")
+    p.add_argument("--drop_path", type=float, default=0.1,
+                   help="stochastic depth rate (reference hardcodes 0.1, "
+                        "Classification/train.py:127)")
     p.add_argument("--patience", type=int, default=20)
     p.add_argument("--eval_batch_size", type=int, default=128)
     p.add_argument("--max_grad_norm", type=float, default=1.0,
@@ -120,8 +123,13 @@ def main():
     tt = TrainTransform(args.img_size, 0.4722, 0.3028, seed=args.seed)
     et = EvalTransform(args.img_size, 0.4722, 0.3028, crop_ratio=args.ratio)
 
+    import dataclasses
+
+    vit_cfg = dataclasses.replace(
+        _VIT_FACTORY[args.model](img_size=args.img_size),
+        drop_path_rate=args.drop_path)
     ccfg = cfg.ClassificationConfig(
-        vit=_VIT_FACTORY[args.model](img_size=args.img_size),
+        vit=vit_cfg,
         optimizer=cfg.OptimizerConfig(
             name="sgd", lr=args.lr, weight_decay=args.weight_decay,
             momentum=0.9,

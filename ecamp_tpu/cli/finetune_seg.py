@@ -42,6 +42,9 @@ def get_args():
                    choices=sorted(_VIT_FACTORY) + ["resnet50"],
                    help="ViT variant, or 'resnet50' for the UNet baseline "
                         "path (Segmentation/train.py:139-180)")
+    p.add_argument("--decode_features", default="512,256,128,64",
+                   help="conv-decoder channel widths (reference SegViT "
+                        "decode_features, models_vit.py:70-106)")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--warmup_steps", type=int, default=50)
@@ -106,6 +109,8 @@ def main():
     scfg = cfg.SegmentationConfig(
         backbone="resnet50" if is_resnet else "vit",
         vit=vit_factory(img_size=args.img_size),
+        decode_features=tuple(int(x) for x
+                              in args.decode_features.split(",")),
         optimizer=cfg.OptimizerConfig(
             name="adamw", lr=args.lr, weight_decay=args.weight_decay,
             betas=(0.9, 0.999), schedule="warmup_cosine_step",

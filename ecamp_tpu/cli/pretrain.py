@@ -48,6 +48,11 @@ def get_args():
                    help="force optimizer-moment restore from a .pth resume "
                         "even when the filename does not look like a "
                         "reference ECAMP checkpoint")
+    p.add_argument("--exact_attn_dropout", action="store_true",
+                   help="HF-exact attention dropout on the BERT prob "
+                        "tensor (XLA path) instead of the default "
+                        "same-rate output dropout (fused kernel); see "
+                        "DESIGN.md for the measured A/B")
     p.add_argument("--shard_optimizer", action="store_true",
                    help="ZeRO-1: shard AdamW moments (and accumulation "
                         "buffers) over the data mesh axis instead of "
@@ -80,6 +85,7 @@ def main():
     steps_per_epoch = max(1, len(loader))
 
     pconf = cfg.PretrainConfig(
+        bert=cfg.BertConfig(exact_attn_dropout=args.exact_attn_dropout),
         optimizer=cfg.OptimizerConfig(
             name="adamw", lr=args.lr, min_lr=args.min_lr,
             weight_decay=args.weight_decay, betas=(0.9, 0.95),

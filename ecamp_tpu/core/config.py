@@ -32,6 +32,9 @@ class ViTConfig:
     norm_eps: float = 1e-6
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
+    # stochastic depth, linspace-ramped 0 -> rate across blocks (timm);
+    # the reference classification fine-tune uses 0.1 (train.py:127)
+    drop_path_rate: float = 0.0
     # rematerialize each block on the backward pass (jax.checkpoint):
     # trades ~30% more FLOPs for O(depth) -> O(1) activation memory,
     # enabling larger batches / models than HBM would otherwise allow
@@ -80,6 +83,11 @@ class BertConfig:
     intermediate_size: int = 1536
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
+    # HF-exact attention dropout: drop the (B,H,Nq,Nk) probability tensor
+    # (forces the XLA attention path in training). Default False = drop the
+    # attention OUTPUT at the same rate so the fused kernel stays usable;
+    # measured A/B in DESIGN.md. Eval is identical either way.
+    exact_attn_dropout: bool = False
     max_position_embeddings: int = 256
     remat: bool = False
     type_vocab_size: int = 2

@@ -44,12 +44,15 @@ class BertSelfAttention(nn.Module):
     With kv_states it acts as cross-attention, exactly as the fusion layer
     uses it (context_fusion.py:15,45-53).
 
-    Deliberate TPU deviation: HF applies attention dropout to the (B,H,Nq,Nk)
-    probability tensor; we apply the same-rate dropout to the (B,Nq,D)
-    context output instead, so the probs never need to be materialized in
-    HBM and the fused attention kernel stays usable. Identical in eval
-    (activation-parity tested); in training it is a same-strength
-    regularizer on the attention path, not a bitwise match.
+    Deliberate TPU deviation (default): HF applies attention dropout to the
+    (B,H,Nq,Nk) probability tensor; we apply the same-rate dropout to the
+    (B,Nq,D) context output instead, so the probs never need to be
+    materialized in HBM and the fused attention kernel stays usable.
+    Identical in eval (activation-parity tested); in training it is a
+    same-strength regularizer on the attention path, not a bitwise match.
+    cfg.exact_attn_dropout=True opts into the HF-exact probs dropout via
+    the XLA path (for run-for-run comparison with the reference; measured
+    A/B in DESIGN.md).
     """
 
     cfg: BertConfig
@@ -72,6 +75,22 @@ class BertSelfAttention(nn.Module):
         q = split(Dense(d, dtype=self.dtype, name="query")(hidden), nq)
         k = split(Dense(d, dtype=self.dtype, name="key")(kv), nk)
         v = split(Dense(d, dtype=self.dtype, name="value")(kv), nk)
+        if c.exact_attn_dropout and not deterministic:
+            # HF-exact: softmax in fp32, dropout on the prob tensor, then
+            # the value matmul (transformers BertSelfAttention order)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits * (hd ** -0.5)
+            if bias is not None:
+                logits = logits + bias
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = Dropout(c.attention_probs_dropout_prob)(
+                probs, deterministic=False)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, nq, d)
+            if return_probs:
+                return out, probs
+            return out
         out = dot_product_attention(q, k, v, bias=bias, scale=hd ** -0.5,
                                     return_probs=return_probs)
         probs = None

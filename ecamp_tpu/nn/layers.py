@@ -124,6 +124,24 @@ class Attention(nn.Module):
         return out
 
 
+class DropPath(nn.Module):
+    """Stochastic depth (timm DropPath): drop a residual BRANCH per sample
+    with probability `rate`, rescaling kept samples by 1/(1-rate). The
+    reference's classification fine-tune trains with drop_path_rate=0.1
+    (Classification/train.py:127, linspace-ramped across blocks by timm)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        keep = jax.random.bernoulli(self.make_rng("dropout"),
+                                    1.0 - self.rate, shape)
+        return jnp.where(keep, x / (1.0 - self.rate), jnp.zeros_like(x))
+
+
 class Block(nn.Module):
     """Pre-LN transformer block (timm Block semantics)."""
 
@@ -133,6 +151,7 @@ class Block(nn.Module):
     drop_rate: float = 0.0
     attn_drop: float = 0.0
     norm_eps: float = 1e-6
+    drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -142,11 +161,11 @@ class Block(nn.Module):
         y = Attention(self.num_heads, self.qkv_bias, self.attn_drop,
                       self.drop_rate, dtype=self.dtype, name="attn")(
                           y, deterministic=deterministic)
-        x = x + y
+        x = x + DropPath(self.drop_path)(y, deterministic=deterministic)
         y = LayerNorm(self.norm_eps, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(d * self.mlp_ratio), d, self.drop_rate,
                 dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
-        return x + y
+        return x + DropPath(self.drop_path)(y, deterministic=deterministic)
 
 
 class PatchEmbed(nn.Module):

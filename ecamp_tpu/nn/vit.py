@@ -53,8 +53,13 @@ class VisionTransformer(nn.Module):
         block_cls = (nn.remat(Block, static_argnums=(2,)) if c.remat
                      else Block)  # jax.checkpoint per block (config.remat)
         for i in range(c.depth):
+            # stochastic-depth rate ramps linearly across blocks (timm:
+            # torch.linspace(0, drop_path_rate, depth))
+            dpr = (c.drop_path_rate * i / max(c.depth - 1, 1)
+                   if c.drop_path_rate else 0.0)
             x = block_cls(c.num_heads, c.mlp_ratio, c.qkv_bias, c.drop_rate,
-                          c.attn_drop_rate, c.norm_eps, dtype=self.dtype,
+                          c.attn_drop_rate, c.norm_eps, dpr,
+                          dtype=self.dtype,
                           name=f"blocks_{i}")(x, deterministic)
         return x
 
