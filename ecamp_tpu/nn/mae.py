@@ -63,27 +63,40 @@ class SuperResolutionHead(nn.Module):
     B=96 on v5e vs 13.1 ms for the same convs NCHW (tools/bench_sr.py;
     a fused Pallas stencil was also measured and LOST to XLA's NCHW conv
     — see kernels/sr_head.py, kept as an opt-in experiment).
+
+    nchw_io=True takes AND returns (N, C, H, W), upsampling channels-first
+    too — no layout edges at 448^2 at all (the caller keeps the whole SR
+    branch NCHW; see ECAMP.__call__'s ECAMP_SR_NCHW_PATH).
     """
 
     scale: int = 2
     channels: int = 3
     dtype: jnp.dtype = jnp.float32
+    nchw_io: bool = False
 
     @nn.compact
     def __call__(self, x):
-        n, h, w, c = x.shape
-        x = resize_bilinear(x, (h * self.scale, w * self.scale))
-        w1, b1 = _Conv3x3Params(c, self.channels, name="conv1")()
-        w2, b2 = _Conv3x3Params(self.channels, self.channels, name="conv2")()
-
         from ..kernels.sr_head import sr_conv_stack, sr_supported, \
             _xla_reference
 
-        x_chw = jnp.transpose(x, (0, 3, 1, 2))
+        if self.nchw_io:
+            from ..ops.image_ops import resize_bilinear_nchw
+
+            n, c, h, w = x.shape
+            x_chw = resize_bilinear_nchw(x, (h * self.scale, w * self.scale))
+        else:
+            n, h, w, c = x.shape
+            x = resize_bilinear(x, (h * self.scale, w * self.scale))
+            x_chw = jnp.transpose(x, (0, 3, 1, 2))
+        w1, b1 = _Conv3x3Params(c, self.channels, name="conv1")()
+        w2, b2 = _Conv3x3Params(self.channels, self.channels, name="conv2")()
+
         if sr_supported(x_chw):  # opt-in (ECAMP_SR_KERNEL=1)
             out = sr_conv_stack(x_chw, w1, b1, w2, b2)
         else:
             out = _xla_reference(x_chw, w1, b1, w2, b2)
+        if self.nchw_io:
+            return out
         return jnp.transpose(out, (0, 2, 3, 1))
 
 
@@ -111,13 +124,31 @@ class ECAMP(nn.Module):
                  deterministic: bool = False,
                  return_cross_probs: bool = False,
                  features_only: bool = False):
+        import os
+
         c = self.vit
+        # ECAMP_SR_NCHW_PATH=1: keep every 448^2 tensor channels-first —
+        # ONE NHWC->NCHW transpose of the input, then the bicubic resize,
+        # SR upsample+convs and the res-loss all run NCHW (xprof showed 8
+        # full-image layout copies, ~4.6 ms/step at B=96, on the NHWC
+        # formulation; the encoder still gets NHWC at 224^2, 1/4 the bytes)
+        sr_nchw = os.environ.get("ECAMP_SR_NCHW_PATH") == "1"
         big_imgs = batch["image"].astype(self.dtype)  # (N, 448, 448, 3)
+        big_chw = None
         if big_imgs.shape[1] == c.img_size and big_imgs.shape[2] == c.img_size:
             # already at encoder resolution: feed directly, exactly like the
             # visualization forward (Visualization/module/model_ecamp.py:
             # 308-319 takes the 224 image with no resize)
             imgs = big_imgs
+            if sr_nchw:
+                big_chw = jnp.transpose(big_imgs, (0, 3, 1, 2))
+        elif sr_nchw:
+            from ..ops.image_ops import resize_bicubic_nchw
+
+            big_chw = jnp.transpose(big_imgs, (0, 3, 1, 2))
+            imgs = jnp.transpose(
+                resize_bicubic_nchw(big_chw, (c.img_size, c.img_size)),
+                (0, 2, 3, 1))
         else:
             imgs = resize_bicubic(big_imgs, (c.img_size, c.img_size))
 
@@ -129,15 +160,25 @@ class ECAMP(nn.Module):
             pred = self.image_decoder(latent, ids_restore, deterministic)
             pred_img = unpatchify(pred.astype(self.dtype), c.patch_size,
                                   channels=c.in_chans)
-            super_pred = SuperResolutionHead(self.sr_scale, c.in_chans,
-                                             dtype=self.dtype,
-                                             name="super_res")(pred_img)
             pixel_mask, super_mask = mask_to_pixel(
                 mask, batch["column"], batch["row"], c.patch_size,
                 self.sr_scale, self.sr_window)
-            mim_loss, res_loss = masked_pixel_losses(
-                pred_img, imgs, super_pred, big_imgs,
-                pixel_mask, super_mask)
+            if sr_nchw:
+                # (N,H,W,1) -> (N,1,H,W) is a pure reshape (size-1 axis)
+                super_pred = SuperResolutionHead(
+                    self.sr_scale, c.in_chans, dtype=self.dtype,
+                    nchw_io=True, name="super_res")(
+                        jnp.transpose(pred_img, (0, 3, 1, 2)))
+                mim_loss, res_loss = masked_pixel_losses(
+                    pred_img, imgs, super_pred, big_chw,
+                    pixel_mask, jnp.transpose(super_mask, (0, 3, 1, 2)))
+            else:
+                super_pred = SuperResolutionHead(self.sr_scale, c.in_chans,
+                                                 dtype=self.dtype,
+                                                 name="super_res")(pred_img)
+                mim_loss, res_loss = masked_pixel_losses(
+                    pred_img, imgs, super_pred, big_imgs,
+                    pixel_mask, super_mask)
             outputs.update(mim_loss=mim_loss, res_loss=res_loss)
 
         # report decoder bridge (model_ecamp.py:267-273)
@@ -226,7 +267,9 @@ class ECAMP(nn.Module):
         mask_tokens = jnp.broadcast_to(mask_token.astype(self.dtype),
                                        (b, n_masked, dc.embed_dim))
         x_ = jnp.concatenate([x[:, 1:, :], mask_tokens], axis=1)
-        x_ = jnp.take_along_axis(x_, ids_restore[:, :, None], axis=1)
+        from ..ops.masking import permute_tokens
+
+        x_ = permute_tokens(x_, ids_restore)
         x = jnp.concatenate([x[:, :1, :], x_], axis=1)
         x = x + self._pos_embed(dc.embed_dim).astype(self.dtype)
         block_cls = (nn.remat(Block, static_argnums=(2,)) if dc.remat

@@ -69,20 +69,56 @@ def _resize_matmul(x: jnp.ndarray, size: Tuple[int, int],
 
     Same linear map as jax.image.resize(antialias=False) but executed on
     the MXU: measured 3.9 ms vs 25 ms for the gather-based lowering on the
-    (64, 448, 448, 3) -> 224 bicubic of the pretrain step (v5e)."""
+    (64, 448, 448, 3) -> 224 bicubic of the pretrain step (v5e).
+
+    By default the two contractions run channels-first (h/w as the minor
+    dims, c folded into the batch) with one NHWC transpose at each end —
+    avoids the T(4,128) lane padding that a c=3 minor dim forces on the
+    NHWC operands (same pathology the SR head had; measured +0.3% step
+    throughput at B=96, DESIGN round-3 layout A/B).
+    ECAMP_RESIZE_NHWC=1 restores the direct NHWC einsums."""
+    import os
+
     n, h, w, c = x.shape
     mh = jnp.asarray(_resize_matrix(h, size[0], method), x.dtype)
     mw = jnp.asarray(_resize_matrix(w, size[1], method), x.dtype)
     # fp32 callers (parity/eval) get full-precision taps; the bf16 hot
     # path keeps single-pass MXU matmuls (default precision)
     prec = "highest" if x.dtype == jnp.float32 else None
-    y = jnp.einsum("oh,bhwc->bowc", mh, x, precision=prec)
-    return jnp.einsum("pw,bowc->bopc", mw, y, precision=prec)
+    if os.environ.get("ECAMP_RESIZE_NHWC") == "1":
+        y = jnp.einsum("oh,bhwc->bowc", mh, x, precision=prec)
+        return jnp.einsum("pw,bowc->bopc", mw, y, precision=prec)
+    z = jnp.transpose(x, (0, 3, 1, 2))  # b c h w
+    y = jnp.einsum("oh,bchw->bcow", mh, z, precision=prec)
+    y = jnp.einsum("pw,bcow->bcop", mw, y, precision=prec)
+    return jnp.transpose(y, (0, 2, 3, 1))
 
 
 def resize_bicubic(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """NHWC bicubic resize, antialias off (torchvision tensor-mode default)."""
     return _resize_matmul(x, size, "bicubic")
+
+
+def _resize_matmul_nchw(x: jnp.ndarray, size: Tuple[int, int],
+                        method: str) -> jnp.ndarray:
+    """Separable resize on an NCHW tensor, no layout changes: both
+    contractions run over the minor h/w dims (c rides the batch dims), so
+    no T(4,128) lane padding and no transposes. Same linear map as the
+    NHWC path."""
+    n, c, h, w = x.shape
+    mh = jnp.asarray(_resize_matrix(h, size[0], method), x.dtype)
+    mw = jnp.asarray(_resize_matrix(w, size[1], method), x.dtype)
+    prec = "highest" if x.dtype == jnp.float32 else None
+    y = jnp.einsum("oh,bchw->bcow", mh, x, precision=prec)
+    return jnp.einsum("pw,bcow->bcop", mw, y, precision=prec)
+
+
+def resize_bicubic_nchw(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    return _resize_matmul_nchw(x, size, "bicubic")
+
+
+def resize_bilinear_nchw(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    return _resize_matmul_nchw(x, size, "bilinear")
 
 
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int],

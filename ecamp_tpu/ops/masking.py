@@ -8,10 +8,28 @@ hot spot executed on device every step) with broadcasting that XLA fuses.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def permute_tokens(x: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """x[(b, ids[b, k], :)] — the token gather used by MAE masking and the
+    decoder's mask-token unshuffle.
+
+    Default lowering is a one-hot x tokens matmul: a batched (K, L) @
+    (L, D) contraction rides the MXU and its BACKWARD is the transposed
+    matmul, where a gather's backward is a scatter-add (layout-copy
+    prone). Measured +0.6% step throughput vs take_along_axis at B=96 on
+    v5e (DESIGN round-3 layout A/B). Bit-exact for one-hot rows: each
+    output element is a sum with exactly one nonzero term.
+    ECAMP_GATHER_PERMUTE=1 restores the take_along_axis lowering."""
+    if os.environ.get("ECAMP_GATHER_PERMUTE") == "1":
+        return jnp.take_along_axis(x, ids[:, :, None], axis=1)
+    p = jax.nn.one_hot(ids, x.shape[1], dtype=x.dtype)
+    return jnp.einsum("bkl,bld->bkd", p, x)
 
 
 def random_masking(rng: jax.Array, x: jnp.ndarray, mask_ratio: float
@@ -27,7 +45,7 @@ def random_masking(rng: jax.Array, x: jnp.ndarray, mask_ratio: float
     ids_shuffle = jnp.argsort(noise, axis=1)
     ids_restore = jnp.argsort(ids_shuffle, axis=1)
     ids_keep = ids_shuffle[:, :len_keep]
-    x_kept = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)
+    x_kept = permute_tokens(x, ids_keep)
     mask = jnp.ones((n, L), dtype=x.dtype)
     mask = mask.at[:, :len_keep].set(0.0)
     mask = jnp.take_along_axis(mask, ids_restore, axis=1)

@@ -19,7 +19,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+BATCH = (int(sys.argv[1]) if len(sys.argv) > 1
+         and sys.argv[1].isdigit() else 96)
 
 
 def main():
@@ -59,7 +60,10 @@ def main():
 
 
 def report(xplanes):
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    try:
+        from xprof.convert import raw_to_tool_data
+    except ImportError:  # older image
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
 
     for tool in ("op_profile", "framework_op_stats"):
         try:
