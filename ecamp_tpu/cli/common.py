@@ -196,10 +196,12 @@ class ShardedEval:
     def local_indices(self) -> np.ndarray:
         if not self.distributed:
             return np.arange(self.n)
-        idx = np.arange(self.n)[self.pid::self.P]
-        if len(idx) < self.n_local:  # wrap-pad; trimmed again in gather
-            idx = np.concatenate([idx, idx[: self.n_local - len(idx)]])
-        return idx
+        # position k on process p holds global index (p + k*P) mod n:
+        # for i < n this is exactly index i at (i%P, i//P) — what gather
+        # reassembles — and the mod wraps pad entries onto real samples
+        # even when the eval set is smaller than the process count
+        k = np.arange(self.n_local)
+        return (self.pid + k * self.P) % self.n
 
     def gather(self, arr: np.ndarray) -> np.ndarray:
         """(n_local, ...) per-sample results -> (n, ...) in dataset order."""
@@ -265,20 +267,29 @@ def eval_state_and_sharder(task, state):
 
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from ..core.mesh import data_sharding
+    from ..core.mesh import data_sharding, replicated_sharding
 
     local = np.asarray(_jax.local_devices()).reshape(-1, 1)
     lmesh = Mesh(local, task.mesh.axis_names[:2]
                  if len(task.mesh.axis_names) >= 2
                  else (task.mesh.axis_names[0], "model"))
     repl = NamedSharding(lmesh, P())
+    grepl = replicated_sharding(task.mesh)
 
     def localize(tree):
         if tree is None:
             return None
-        return _jax.tree_util.tree_map(
-            lambda a: _jax.device_put(np.asarray(_jax.device_get(a)), repl),
-            tree)
+
+        def one(a):
+            # TP-sharded params span non-addressable devices; gather them
+            # to replicated on the GLOBAL mesh first (a collective every
+            # process executes), then the host copy is addressable
+            if (hasattr(a, "sharding")
+                    and not getattr(a, "is_fully_replicated", True)):
+                a = _jax.device_put(a, grepl)
+            return _jax.device_put(np.asarray(_jax.device_get(a)), repl)
+
+        return _jax.tree_util.tree_map(one, tree)
 
     lstate = state.replace(params=localize(state.params))
     if getattr(state, "batch_stats", None) is not None:

@@ -29,7 +29,11 @@ def permute_tokens(x: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     if os.environ.get("ECAMP_GATHER_PERMUTE") == "1":
         return jnp.take_along_axis(x, ids[:, :, None], axis=1)
     p = jax.nn.one_hot(ids, x.shape[1], dtype=x.dtype)
-    return jnp.einsum("bkl,bld->bkd", p, x)
+    # fp32 inputs must not round through the MXU's bf16 passes — the
+    # bit-exactness claim needs full-precision accumulation there (the
+    # bf16 hot path keeps single-pass MXU matmuls)
+    prec = "highest" if x.dtype == jnp.float32 else None
+    return jnp.einsum("bkl,bld->bkd", p, x, precision=prec)
 
 
 def random_masking(rng: jax.Array, x: jnp.ndarray, mask_ratio: float

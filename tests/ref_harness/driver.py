@@ -134,7 +134,8 @@ def run_reference_cls(workdir: str, pretrained_path: str, *,
                       train_batch_size: int = 8, eval_batch_size: int = 16,
                       num_steps: int = 36, warmup_steps: int = 6,
                       learning_rate: float = 3e-3, seed: int = 42,
-                      tiny_factory=None):
+                      tiny_factory=None, mode: str = "Finetune",
+                      out_name: str = "ref_out"):
     """Drive reference setup() + train() + test(). Returns a dict with
     the validation trajectory [(step, auc, loss)...] and the final test
     AUROC. `tiny_factory(**kwargs) -> models_vit.VisionTransformer` is
@@ -181,14 +182,14 @@ def run_reference_cls(workdir: str, pretrained_path: str, *,
     args = Namespace(
         name="parity", stage="train", model=model_name, task=task,
         num_classes=num_classes, dataset_path=os.path.join(workdir, "imgs"),
-        data_volume="100", output_dir=os.path.join(workdir, "ref_out"),
+        data_volume="100", output_dir=os.path.join(workdir, out_name),
         img_size=img_size, ratio=1.0, train_batch_size=train_batch_size,
         eval_batch_size=eval_batch_size, learning_rate=learning_rate,
         weight_decay=0.0, num_steps=num_steps, decay_type="cosine",
         warmup_steps=warmup_steps, max_grad_norm=1.0, local_rank=-1,
         seed=seed, gradient_accumulation_steps=1, fp16=False,
         fp16_opt_level="O2", loss_scale=0, device="cpu", n_gpu=0,
-        pretrained_path=pretrained_path, mode="Finetune")
+        pretrained_path=pretrained_path, mode=mode)
     os.makedirs(args.output_dir, exist_ok=True)
 
     cwd = os.getcwd()

@@ -38,18 +38,6 @@ def test_subset_views_dataset():
     assert sub[0]["x"][0] == 3 and sub[2]["x"][0] == 1
 
 
-class _FakeMultihost:
-    """Monkeypatch stand-in: P simulated processes; each ShardedEval is
-    given its pid and allgather returns the stacked per-process arrays
-    recorded by a shared registry keyed on call order."""
-
-    def __init__(self, per_process_arrays):
-        self.arrays = per_process_arrays  # list over processes
-
-    def process_allgather(self, arr):
-        return np.stack(self.arrays.pop(0))
-
-
 def _simulated(n, P, fn, ragged=False, cols=5):
     """Run ShardedEval on a simulated P-process world and return the
     gathered result as seen by process 0."""
@@ -96,7 +84,8 @@ def _simulated(n, P, fn, ragged=False, cols=5):
     return results
 
 
-@pytest.mark.parametrize("n,P", [(7, 2), (8, 2), (5, 4), (9, 3)])
+@pytest.mark.parametrize("n,P", [(7, 2), (8, 2), (5, 4), (9, 3),
+                                 (3, 4), (1, 8)])
 def test_sharded_eval_gather_restores_order(n, P):
     def fn(idx):
         return np.stack([np.array([i * 10.0, i + 0.5]) for i in idx])
@@ -183,6 +172,23 @@ for i in range(n):
         assert g[i] is None
     else:
         np.testing.assert_allclose(g[i], np.full((k, 5), float(i)))
+
+# eval set smaller than the process count: wrap onto real samples
+se_tiny = ShardedEval(1)
+assert len(se_tiny.local_indices()) == se_tiny.n_local
+tiny = se_tiny.gather(np.full((se_tiny.n_local, 2), 5.0, np.float32))
+np.testing.assert_allclose(tiny, [[5.0, 5.0]])
+
+# localize() of a NON-replicated (TP/data-sharded) param: must gather to
+# replicated on the global mesh before the host copy (plain device_get
+# raises on non-addressable arrays)
+from jax.sharding import NamedSharding, PartitionSpec
+wsh = jax.device_put(np.arange(8, dtype=np.float32),
+                     NamedSharding(mesh, PartitionSpec("data")))
+assert not wsh.is_fully_replicated
+lstate2, _ = eval_state_and_sharder(task, FakeState({"w": wsh}))
+np.testing.assert_allclose(np.asarray(lstate2.params["w"]),
+                           np.arange(8, dtype=np.float32))
 print(f"proc {jax.process_index()}: EVALSHARD_OK", flush=True)
 '''
     procs = []

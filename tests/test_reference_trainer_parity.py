@@ -146,6 +146,63 @@ def test_final_auc_parity_within_tolerance(reference_result, jax_result):
     assert delta <= 0.05, (reference_result, jax_result)
 
 
+@pytest.fixture(scope="module")
+def lp_reference_result(brightness_corpus, shared_init_pth):
+    """LinearProbe mode: all but `head` frozen (train.py:156-159)."""
+    from tests.ref_harness.driver import run_reference_cls
+
+    return run_reference_cls(
+        str(brightness_corpus), shared_init_pth, model_name="vit_test_tiny",
+        num_classes=1, task=TASK, img_size=IMG, mode="LinearProbe",
+        out_name="ref_out_lp",
+        tiny_factory=_tiny_factory(sys.modules["models_vit"]), **HP)
+
+
+@pytest.fixture(scope="module")
+def lp_jax_result(brightness_corpus, shared_init_pth):
+    from ecamp_tpu.cli import finetune_cls
+    from ecamp_tpu.core.config import ViTConfig
+
+    out = brightness_corpus / "jax_out_lp"
+    finetune_cls._VIT_FACTORY["test_tiny"] = lambda img_size=IMG: ViTConfig(
+        img_size=img_size, patch_size=16, embed_dim=64, depth=4, num_heads=4)
+    argv = ["finetune_cls", "--task", TASK, "--linear_probe",
+            "--dataset_path", str(brightness_corpus / "imgs"),
+            "--list_path", str(brightness_corpus / "datasets"),
+            "--img_size", str(IMG), "--model", "test_tiny",
+            "--batch_size", str(HP["train_batch_size"]),
+            "--eval_batch_size", str(HP["eval_batch_size"]),
+            "--num_steps", str(HP["num_steps"]),
+            "--warmup_steps", str(HP["warmup_steps"]),
+            "--lr", str(HP["learning_rate"]),
+            "--seed", str(HP["seed"]),
+            "--pretrained", shared_init_pth,
+            "--num_workers", "2", "--output_dir", str(out), "--no_bf16"]
+    old_argv = sys.argv
+    sys.argv = argv
+    try:
+        finetune_cls.main()
+    finally:
+        sys.argv = old_argv
+        finetune_cls._VIT_FACTORY.pop("test_tiny", None)
+    records = [json.loads(ln) for ln in
+               (out / "log.txt").read_text().splitlines()]
+    test_auc = next(r["test"]["auc"] for r in records if "test" in r)
+    return {"test_auc": float(test_auc)}
+
+
+def test_linear_probe_parity(lp_reference_result, lp_jax_result):
+    """Frozen-trunk probe of a RANDOM trunk on a linearly separable
+    signal: both sides should still find it through the frozen features,
+    and agree."""
+    delta = abs(lp_reference_result["test_auc"] - lp_jax_result["test_auc"])
+    print(f"LP ref {lp_reference_result['test_auc']:.4f}  "
+          f"jax {lp_jax_result['test_auc']:.4f}  delta {delta:.4f}")
+    assert lp_reference_result["test_auc"] >= 0.8, lp_reference_result
+    assert lp_jax_result["test_auc"] >= 0.8, lp_jax_result
+    assert delta <= 0.1
+
+
 def test_validation_trajectories_track(reference_result, jax_result):
     """Same eval cadence (every 12 optimizer steps): by the final eval
     both trainers should be in the learned regime."""
