@@ -110,6 +110,106 @@ def test_pretrain_cli_e2e(toy_mimic, tmp_path, monkeypatch, capsys):
     assert (out / "ckpt").exists()
 
 
+def test_full_lifecycle_pretrain_export_finetune(toy_mimic, tmp_path,
+                                                 monkeypatch, capsys):
+    """The reference README's whole workflow, chained: pretrain ->
+    reference-format .pth (torch-free writer) -> classification
+    fine-tune seeded from it. The fine-tune's initial trunk must equal
+    the pretrained trunk (import actually took effect), and training +
+    test must complete."""
+    from ecamp_tpu.ckpt import latest_step, restore_checkpoint
+    from ecamp_tpu.ckpt.torch_export import export_ecamp_pretrain
+    from ecamp_tpu.cli import pretrain
+    from ecamp_tpu.core import config as cfg
+
+    out = tmp_path / "pre_out"
+    argv = ["pretrain", "--data_path", str(toy_mimic),
+            "--batch_size", "8", "--epochs", "1", "--max_epoch", "4",
+            "--warmup_epochs", "1", "--input_size", "64",
+            "--max_caption_length", "16",
+            "--num_workers", "2", "--output_dir", str(out), "--no_bf16",
+            "--print_freq", "1"]
+    monkeypatch.setattr(sys, "argv", argv)
+    tiny_kw = dict(
+        vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                          num_heads=2),
+        decoder=cfg.MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+        bert=cfg.BertConfig(vocab_size=32, hidden_size=32,
+                            num_hidden_layers=1, num_attention_heads=2,
+                            intermediate_size=64, max_position_embeddings=16),
+        sr_window=1, max_caption_length=16)
+    orig = cfg.PretrainConfig
+
+    def tiny_config(**kw):
+        merged = dict(tiny_kw)
+        merged.update({k: v for k, v in kw.items() if k not in merged})
+        return orig(**merged)
+
+    monkeypatch.setattr(cfg, "PretrainConfig", tiny_config)
+    monkeypatch.setattr(pretrain.cfg, "PretrainConfig", tiny_config)
+    pretrain.main()
+
+    # export the pretrain checkpoint to a reference-format .pth
+    ckdir = str(out / "ckpt")
+    step = latest_step(ckdir)
+    restored = restore_checkpoint(ckdir, step)
+    pth = str(tmp_path / "pretrained_tiny.pth")
+    export_ecamp_pretrain({"params": restored["params"]}, pth, epoch=0)
+
+    # fine-tune classification seeded from the exported .pth
+    from ecamp_tpu.cli import finetune_cls
+
+    rng = np.random.default_rng(0)
+    lists = tmp_path / "lists" / "RSNA"
+    lists.mkdir(parents=True)
+    imgdir = tmp_path / "cls_imgs"
+    imgdir.mkdir()
+    for split, n in (("train", 8), ("val", 4), ("test", 4)):
+        lines = []
+        for i in range(n):
+            name = f"{split}{i}.png"
+            base = 170 if i % 2 else 100
+            Image.fromarray(np.clip(rng.normal(base, 15, (64, 64, 3)), 0,
+                                    255).astype(np.uint8)).save(imgdir / name)
+            lines.append(f"{name} {i % 2}")
+        (lists / f"{split}_list.txt").write_text("\n".join(lines) + "\n")
+
+    cls_out = tmp_path / "cls_out"
+    finetune_cls._VIT_FACTORY["pretrain_tiny"] = \
+        lambda img_size=32: cfg.ViTConfig(img_size=img_size, patch_size=16,
+                                          embed_dim=32, depth=1, num_heads=2)
+    argv = ["finetune_cls", "--task", "RSNA",
+            "--dataset_path", str(imgdir), "--list_path", str(tmp_path / "lists"),
+            "--img_size", "32", "--model", "pretrain_tiny",
+            "--batch_size", "4", "--eval_batch_size", "4",
+            "--num_steps", "2", "--warmup_steps", "1",
+            "--pretrained", pth,
+            "--num_workers", "2", "--output_dir", str(cls_out), "--no_bf16"]
+    monkeypatch.setattr(sys, "argv", argv)
+    try:
+        finetune_cls.main()
+    finally:
+        finetune_cls._VIT_FACTORY.pop("pretrain_tiny", None)
+    assert "TEST mean AUROC" in capsys.readouterr().out
+
+    # the import took effect: the classifier template seeded from the
+    # .pth carries the pretrained trunk values
+    import jax
+
+    from ecamp_tpu.ckpt import import_vit_classifier
+    from ecamp_tpu.nn import ViTClassifier
+
+    model = ViTClassifier(finetune_cls.cfg.ViTConfig(
+        img_size=32, patch_size=16, embed_dim=32, depth=1, num_heads=2), 1)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32, 32, 3), np.float32))
+    loaded_vars, loaded, _ = import_vit_classifier(variables, pth)
+    assert len(loaded) > 10  # trunk leaves came from the .pth
+    np.testing.assert_array_equal(
+        np.asarray(loaded_vars["params"]["trunk"]["cls_token"]),
+        np.asarray(restored["params"]["cls_token"]))
+
+
 def test_visualize_cli_e2e(tmp_path, monkeypatch, capsys):
     """visualize CLI end-to-end with a synthetic .pth of the tiny model.
 

@@ -64,6 +64,41 @@ def toy_rsna_det(tmp_path):
     return tmp_path
 
 
+def test_finetune_det_cli_objectcxr(tmp_path, monkeypatch, capsys):
+    """ObjectCXR task dispatch: resize/ image dir + per-image .npy label
+    arrays (Detection/utils/my_dataset.py:106-209)."""
+    from ecamp_tpu.cli import finetune_det
+
+    rng = np.random.default_rng(0)
+    lists = tmp_path / "lists" / "ObjectCXR"
+    lists.mkdir(parents=True)
+    imgdir = tmp_path / "imgs" / "resize"
+    imgdir.mkdir(parents=True)
+    for split, n in (("train", 4), ("test", 2)):
+        rows = ["image_name"]
+        for i in range(n):
+            name = f"{split}{i}.png"
+            arr = rng.integers(0, 255, (128, 128, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(imgdir / name)
+            y = np.array([[0.0, 0.5, 0.5, 0.3, 0.3]], np.float32)
+            np.save(imgdir / (name + ".npy"), y)
+            rows.append(name)
+        fname = "train_list.csv" if split == "train" else "test_list.csv"
+        (lists / fname).write_text("\n".join(rows) + "\n")
+
+    out = tmp_path / "out"
+    argv = ["finetune_det", "--task", "ObjectCXR",
+            "--dataset_path", str(tmp_path / "imgs"),
+            "--list_path", str(tmp_path / "lists"),
+            "--img_size", "64", "--model", "tiny",
+            "--batch_size", "2", "--eval_batch_size", "2",
+            "--num_steps", "1", "--warmup_steps", "1", "--start_eval", "1",
+            "--num_workers", "2", "--output_dir", str(out), "--no_bf16"]
+    monkeypatch.setattr(sys, "argv", argv)
+    finetune_det.main()
+    assert "TEST mAP" in capsys.readouterr().out
+
+
 def test_finetune_det_cli(toy_rsna_det, tmp_path, monkeypatch, capsys):
     from ecamp_tpu.cli import finetune_det
 
