@@ -31,7 +31,10 @@ import jax
 import numpy as np
 
 A100_REFERENCE_IMG_PER_SEC = 250.0
-BATCH = 96  # measured sweet spot on v5e-1: 544 img/s vs 528 at B=64
+# measured sweet spot on v5e-1 with the round-3 layout defaults:
+# B=96 545, B=104 551, B=112 547, B=128 547 img/s;
+# ECAMP_BENCH_BATCH overrides for sweeps
+BATCH = int(os.environ.get("ECAMP_BENCH_BATCH", "104"))
 WARMUP = 3
 STEPS = 10
 
