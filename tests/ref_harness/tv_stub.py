@@ -125,3 +125,14 @@ class Normalize:
 
     def __call__(self, t):
         return (t - self.mean[:, None, None]) / self.std[:, None, None]
+
+
+class ColorJitter:
+    """Constructed (but never composed) by the reference's
+    DetectionDataTransforms (Detection/utils/data_utils.py:17-22)."""
+
+    def __init__(self, *args, **kwargs):
+        self.args, self.kwargs = args, kwargs
+
+    def __call__(self, img):
+        return img
