@@ -8,6 +8,7 @@ unmodified; only its missing third-party imports are satisfied by stubs
 
 from __future__ import annotations
 
+import importlib.machinery
 import importlib.util
 import os
 import sys
@@ -17,6 +18,7 @@ from argparse import Namespace
 REF_CLS = "/root/reference/ECAMP/Fine-tuning/Classification"
 REF_SEG = "/root/reference/ECAMP/Fine-tuning/Segmentation"
 REF_DET = "/root/reference/ECAMP/Fine-tuning/Detection"
+REF_PRE = "/root/reference/ECAMP/Pre-training"
 
 
 def _install_stubs():
@@ -71,6 +73,39 @@ def _install_stubs():
     sys.modules.setdefault("apex.parallel", parallel)
 
     sys.modules.setdefault("ipdb", types.ModuleType("ipdb"))
+
+    # Pre-training extras: util/misc.py imports the torch._six shim
+    # (removed in torch>=1.13; only `inf` is used, for grad norms) and
+    # main_pretrain.py builds AdamW param groups via timm's
+    # add_weight_decay (timm absent here; same split semantics: no decay
+    # for 1-d params and biases, frozen params excluded).
+    if "torch._six" not in sys.modules:
+        six = types.ModuleType("torch._six")
+        six.inf = float("inf")
+        sys.modules["torch._six"] = six
+
+    def _add_weight_decay(model, weight_decay=1e-5, skip_list=()):
+        decay, no_decay = [], []
+        for name, param in model.named_parameters():
+            if not param.requires_grad:
+                continue
+            if (len(param.shape) == 1 or name.endswith(".bias")
+                    or name in skip_list):
+                no_decay.append(param)
+            else:
+                decay.append(param)
+        return [{"params": no_decay, "weight_decay": 0.0},
+                {"params": decay, "weight_decay": weight_decay}]
+
+    timm_mod = sys.modules["timm"]
+    if not hasattr(timm_mod, "optim"):
+        optim = types.ModuleType("timm.optim")
+        factory = types.ModuleType("timm.optim.optim_factory")
+        factory.add_weight_decay = _add_weight_decay
+        optim.optim_factory = factory
+        timm_mod.optim = optim
+        sys.modules["timm.optim"] = optim
+        sys.modules["timm.optim.optim_factory"] = factory
 
     from . import alb_stub
 
@@ -134,6 +169,22 @@ def _install_stubs():
     sys.modules.setdefault("torchmetrics", tm)
     sys.modules.setdefault("torchmetrics.detection", tm_det)
 
+    # Stub modules need a (loader-less) __spec__: transformers probes
+    # importlib.util.find_spec("apex") at import time, which raises
+    # ValueError on a module whose __spec__ is None.
+    for name in ("timm", "timm.models", "timm.models.vision_transformer",
+                 "timm.models.layers", "timm.optim",
+                 "timm.optim.optim_factory", "torchvision",
+                 "torchvision.transforms", "torchvision.datasets",
+                 "torchvision.models", "torchvision.models.resnet", "apex",
+                 "apex.amp", "apex.parallel", "ipdb", "ml_collections",
+                 "terminaltables", "torchmetrics", "torchmetrics.detection",
+                 "albumentations", "albumentations.pytorch",
+                 "segmentation_models_pytorch", "torch._six"):
+        stub = sys.modules.get(name)
+        if stub is not None and getattr(stub, "__spec__", None) is None:
+            stub.__spec__ = importlib.machinery.ModuleSpec(name, None)
+
     # seg models_vit imports torchvision.transforms.functional
     tvf = sys.modules.get("torchvision.transforms.functional")
     if tvf is None:
@@ -149,23 +200,42 @@ def _install_stubs():
         sys.modules["torchvision"].transforms.functional = tvf
 
 
-def _import_ref_train(ref_dir: str = REF_CLS, modname: str = "ref_cls_train"):
-    """Import <ref_dir>/train.py as `modname`. The Classification and
+def _transformers_compat():
+    """Back-fill symbols the reference Pre-training code uses from their
+    pre-2023 locations: transformers.modeling_utils.apply_chunking_to_forward
+    (moved to pytorch_utils in HF 4.26; module/context_fusion.py) and the
+    np.float builtin alias (removed in numpy 2; util/pos_embed.py:56)."""
+    import numpy as _np
+    import transformers.modeling_utils as mu
+
+    if not hasattr(mu, "apply_chunking_to_forward"):
+        from transformers.pytorch_utils import apply_chunking_to_forward
+
+        mu.apply_chunking_to_forward = apply_chunking_to_forward
+    if not hasattr(_np, "float"):
+        _np.float = float
+
+
+def _import_ref_train(ref_dir: str = REF_CLS, modname: str = "ref_cls_train",
+                      entry: str = "train.py"):
+    """Import <ref_dir>/<entry> as `modname`. The Classification and
     Segmentation dirs both define top-level `models_vit` and `utils.*`
-    modules, so any previously-imported copies are purged and sys.path is
-    re-ordered before loading."""
+    modules (and Pre-training its own `util`/`module` packages), so any
+    previously-imported copies are purged and sys.path is re-ordered
+    before loading."""
     _install_stubs()
-    for other in (REF_CLS, REF_SEG, REF_DET):
+    for other in (REF_CLS, REF_SEG, REF_DET, REF_PRE):
         while other in sys.path:
             sys.path.remove(other)
     for name in list(sys.modules):
         if name in ("models_vit", "utils", "detector_backbone_vit",
-                    "detector_backbone_resnet", "detector_model") or \
-                name.startswith("utils."):
+                    "detector_backbone_resnet", "detector_model",
+                    "util", "module") or \
+                name.startswith(("utils.", "util.", "module.")):
             del sys.modules[name]
     sys.path.insert(0, ref_dir)
     spec = importlib.util.spec_from_file_location(
-        modname, os.path.join(ref_dir, "train.py"))
+        modname, os.path.join(ref_dir, entry))
     mod = importlib.util.module_from_spec(spec)
     sys.modules[modname] = mod
     spec.loader.exec_module(mod)
@@ -455,3 +525,114 @@ def run_reference_det(workdir: str, pretrained_path: str, *,
         du.DataLoader = real_loader
     test_map = maps_seen[-1] if maps_seen else float("nan")
     return {"val_trajectory": traj, "test_map": test_map}
+
+
+def run_reference_pretrain(data_root: str, init_out: str = None, *,
+                           embed_dim: int = 64, depth: int = 2,
+                           num_heads: int = 4, decoder_embed_dim: int = 64,
+                           decoder_depth: int = 1, decoder_num_heads: int = 4,
+                           bert_hidden: int = 64, bert_layers: int = 2,
+                           bert_heads: int = 4, bert_intermediate: int = 128,
+                           max_caption_length: int = 128, batch_size: int = 4,
+                           epochs: int = 3, max_epoch: int = 4,
+                           warmup_epochs: float = 1.0, lr: float = 2e-3,
+                           min_lr: float = 0.0, weight_decay: float = 0.05,
+                           mask_ratio: float = 0.75, accum_iter: int = 1,
+                           seed: int = 42):
+    """Drive the reference Pre-training loop in-process on CPU: its own
+    ContextBertDataset/collate, ECAMP model (3-loss forward), timm-style
+    AdamW param groups, NativeScaler and per-iteration cosine LR
+    (main_pretrain.py train_one_epoch, unmodified) with tiny dims at the
+    REAL 448/224 image geometry. The only substitutions are missing/
+    changed third-party behavior (tv/timm stubs, OldBertSelfAttention —
+    see hf_compat) and .cuda()/synchronize made no-ops for CPU.
+
+    The reference's main() seeds torch+numpy but not python `random`
+    (which _context_mask draws from — deployed, DataLoader workers seed
+    it per-epoch); num_workers=0 here, so seed it explicitly for a
+    reproducible run.
+
+    If init_out is given, the freshly-initialized model state_dict is
+    saved there as {"model": sd} (misc.save_model layout) BEFORE
+    training so the JAX side can start from the identical init.
+
+    Returns {"epochs": [per-epoch global-avg {mim_loss, res_loss,
+    mlm_loss, lr}]}.
+    """
+    import random as pyrandom
+
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    _transformers_compat()
+    mod = _import_ref_train(REF_PRE, "ref_pre_train", entry="main_pretrain.py")
+
+    import functools
+
+    from .hf_compat import OldBertSelfAttention
+
+    cf = sys.modules["module.context_fusion"]
+    bc = sys.modules["module.bert_config"]
+    be = sys.modules["module.bert_encoder"]
+    me = sys.modules["module.model_ecamp"]
+    real_cross = cf.BertSelfAttention
+    real_bconf = be.BertConfig
+    cf.BertSelfAttention = OldBertSelfAttention
+    be.BertConfig = functools.partial(
+        bc.BertConfig, hidden_size=bert_hidden,
+        num_hidden_layers=bert_layers, num_attention_heads=bert_heads,
+        intermediate_size=bert_intermediate)
+
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    pyrandom.seed(seed)
+
+    model = me.ECAMP(
+        img_size=224, patch_size=16, embed_dim=embed_dim, depth=depth,
+        num_heads=num_heads, decoder_embed_dim=decoder_embed_dim,
+        decoder_depth=decoder_depth, decoder_num_heads=decoder_num_heads,
+        mlp_ratio=4, norm_layer=functools.partial(nn.LayerNorm, eps=1e-6))
+    # the reference hardcodes bert_mlp's fan-out to BERT-base 768
+    # (model_ecamp.py:99); retie it to the tiny BERT hidden with the
+    # same init its _init_weights gave the original (xavier + zero bias)
+    model.bert_mlp = nn.Linear(embed_dim, bert_hidden, bias=True)
+    model._init_weights(model.bert_mlp)
+    if init_out:
+        torch.save({"model": model.state_dict()}, init_out)
+
+    dataset = mod.ContextBertDataset(
+        data_root, max_caption_length=max_caption_length)
+    import torch.utils.data as tud
+
+    gen = torch.Generator()
+    gen.manual_seed(seed)
+    loader = tud.DataLoader(dataset, batch_size=batch_size, shuffle=True,
+                            num_workers=0, drop_last=True, generator=gen,
+                            collate_fn=dataset.collate_fn)
+
+    param_groups = mod.optim_factory.add_weight_decay(model, weight_decay)
+    optimizer = torch.optim.AdamW(param_groups, lr=lr, betas=(0.9, 0.95))
+    scaler = mod.NativeScaler()
+
+    args = Namespace(accum_iter=accum_iter, mask_ratio=mask_ratio, lr=lr,
+                     min_lr=min_lr, warmup_epochs=warmup_epochs,
+                     max_epoch=max_epoch, epochs=epochs)
+
+    orig_cuda = torch.Tensor.cuda
+    orig_sync = torch.cuda.synchronize
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.cuda.synchronize = lambda *a, **k: None
+    per_epoch = []
+    try:
+        for epoch in range(epochs):
+            stats = mod.train_one_epoch(
+                model, loader, optimizer, torch.device("cpu"), epoch,
+                scaler, log_writer=None, args=args)
+            per_epoch.append({k: float(v) for k, v in stats.items()})
+    finally:
+        torch.Tensor.cuda = orig_cuda
+        torch.cuda.synchronize = orig_sync
+        cf.BertSelfAttention = real_cross
+        be.BertConfig = real_bconf
+    return {"epochs": per_epoch}

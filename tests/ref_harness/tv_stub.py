@@ -24,10 +24,22 @@ class Compose:
         return img
 
 
+def _pil_resample(interpolation):
+    """Map a (stubbed) InterpolationMode to a PIL resample filter."""
+    name = str(getattr(interpolation, "name", interpolation) or "").upper()
+    if "CUBIC" in name:
+        return Image.BICUBIC
+    if "NEAREST" in name:
+        return Image.NEAREST
+    return Image.BILINEAR
+
+
 class RandomResizedCrop:
-    def __init__(self, size, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    def __init__(self, size, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                 interpolation=None):
         self.size = size if isinstance(size, tuple) else (size, size)
         self.scale, self.ratio = scale, ratio
+        self.resample = _pil_resample(interpolation)
 
     def __call__(self, img):
         w, h = img.size
@@ -42,7 +54,7 @@ class RandomResizedCrop:
                 x = random.randint(0, w - cw)
                 y = random.randint(0, h - ch)
                 return img.crop((x, y, x + cw, y + ch)).resize(
-                    self.size[::-1], Image.BILINEAR)
+                    self.size[::-1], self.resample)
         # fallback: center crop to bounded aspect
         in_r = w / h
         if in_r < self.ratio[0]:
@@ -53,7 +65,7 @@ class RandomResizedCrop:
             cw, ch = w, h
         x, y = (w - cw) // 2, (h - ch) // 2
         return img.crop((x, y, x + cw, y + ch)).resize(
-            self.size[::-1], Image.BILINEAR)
+            self.size[::-1], self.resample)
 
 
 class RandomHorizontalFlip:
@@ -76,20 +88,39 @@ class Grayscale:
 
 
 class Resize:
-    """int size: shorter side scaled to `size` (torchvision semantics)."""
+    """int size: shorter side scaled to `size`; (h, w) size: exact
+    (torchvision semantics). Also accepts batched CHW/NCHW tensors as
+    torchvision does, resized via F.interpolate WITHOUT antialias — the
+    pre-2023 torchvision default the reference deployed with
+    (model_ecamp.py:318 resizes the 448 batch to 224 this way)."""
 
-    def __init__(self, size):
-        self.size = size
+    def __init__(self, size, interpolation=None):
+        self.size = tuple(size) if isinstance(size, (tuple, list)) else size
+        self.interpolation = interpolation
+        self.resample = _pil_resample(interpolation)
 
     def __call__(self, img):
+        if isinstance(img, torch.Tensor):
+            import torch.nn.functional as F
+
+            name = str(getattr(self.interpolation, "name",
+                               self.interpolation) or "bilinear").lower()
+            mode = "bicubic" if "cubic" in name else name
+            size = (self.size if isinstance(self.size, tuple)
+                    else (self.size, self.size))
+            batched = img.dim() == 4
+            x = img if batched else img.unsqueeze(0)
+            out = F.interpolate(x, size=size, mode=mode,
+                                align_corners=False)
+            return out if batched else out.squeeze(0)
         if isinstance(self.size, tuple):
-            return img.resize(self.size[::-1], Image.BILINEAR)
+            return img.resize(self.size[::-1], self.resample)
         w, h = img.size
         if w <= h:
             nw, nh = self.size, int(round(self.size * h / w))
         else:
             nh, nw = self.size, int(round(self.size * w / h))
-        return img.resize((nw, nh), Image.BILINEAR)
+        return img.resize((nw, nh), self.resample)
 
 
 class CenterCrop:
