@@ -73,12 +73,22 @@ class SuperResolutionHead(nn.Module):
     channels: int = 3
     dtype: jnp.dtype = jnp.float32
     nchw_io: bool = False
+    s2d_io: bool = False   # return space-to-depth (N,H/4,W/4,48); NHWC in
 
     @nn.compact
     def __call__(self, x):
         from ..kernels.sr_head import sr_conv_stack, sr_supported, \
             _xla_reference
 
+        if self.s2d_io:
+            from ..ops.s2d_sr import sr_conv_stack_s2d
+
+            n, h, w, c = x.shape
+            u = resize_bilinear(x, (h * self.scale, w * self.scale))
+            w1, b1 = _Conv3x3Params(c, self.channels, name="conv1")()
+            w2, b2 = _Conv3x3Params(self.channels, self.channels,
+                                    name="conv2")()
+            return sr_conv_stack_s2d(u, w1, b1, w2, b2, b=4)
         if self.nchw_io:
             from ..ops.image_ops import resize_bilinear_nchw
 
@@ -163,7 +173,26 @@ class ECAMP(nn.Module):
             pixel_mask, super_mask = mask_to_pixel(
                 mask, batch["column"], batch["row"], c.patch_size,
                 self.sr_scale, self.sr_window)
-            if sr_nchw:
+            # default: space-to-depth SR branch (3-channel 448^2 convs ->
+            # 48-channel 112^2, same math — see ops/s2d_sr.py; the res
+            # loss is a full-tensor mean of squares, permutation-
+            # invariant, so it runs on s2d tensors with no inverse
+            # transform). Kill-switch ECAMP_SR_S2D=0 -> direct layouts.
+            sr_s2d = (os.environ.get("ECAMP_SR_S2D", "1") == "1"
+                      and not sr_nchw)
+            if sr_s2d:
+                from ..ops.s2d_sr import space_to_depth
+
+                super_pred_s2d = SuperResolutionHead(
+                    self.sr_scale, c.in_chans, dtype=self.dtype,
+                    s2d_io=True, name="super_res")(pred_img)
+                big_s2d = space_to_depth(big_imgs, 4)
+                sm_s2d = jnp.repeat(space_to_depth(super_mask, 4),
+                                    c.in_chans, axis=-1)
+                mim_loss, res_loss = masked_pixel_losses(
+                    pred_img, imgs, super_pred_s2d, big_s2d,
+                    pixel_mask, sm_s2d)
+            elif sr_nchw:
                 # (N,H,W,1) -> (N,1,H,W) is a pure reshape (size-1 axis)
                 super_pred = SuperResolutionHead(
                     self.sr_scale, c.in_chans, dtype=self.dtype,

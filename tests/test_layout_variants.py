@@ -91,6 +91,83 @@ def test_sr_nchw_path_matches_default(monkeypatch):
         np.testing.assert_allclose(outs["0"][k], outs["1"][k], rtol=1e-5)
 
 
+def test_s2d_conv_stack_matches_direct():
+    """ops/s2d_sr.py: the space-to-depth conv stack must equal the direct
+    fine-grid conv stack exactly (same taps, reassociated layout only)."""
+    from ecamp_tpu.ops.s2d_sr import (depth_to_space, space_to_depth,
+                                      sr_conv_stack_s2d)
+    from jax import lax
+
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 3, 3)) * 0.2, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, 3, 3)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(3,)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(3,)), jnp.float32)
+
+    def direct(u):
+        h = lax.conv_general_dilated(
+            u, w1, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1
+        h = jnp.maximum(h, 0)
+        h = lax.conv_general_dilated(
+            h, w2, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b2
+        return jnp.maximum(h + u, 0)
+
+    got = depth_to_space(sr_conv_stack_s2d(u, w1, b1, w2, b2, b=4), 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct(u)),
+                               rtol=1e-5, atol=1e-5)
+
+    # round trip
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(u, 4), 4)), np.asarray(u))
+
+
+def test_sr_s2d_model_losses_match_direct(monkeypatch):
+    """ECAMP_SR_S2D (default on) must leave all three pretrain losses
+    unchanged vs the direct NHWC SR branch: the conv math is exact and the
+    res loss is a permutation-invariant full-tensor mean."""
+    from ecamp_tpu.core.config import (BertConfig, MAEDecoderConfig,
+                                       ViTConfig)
+    from ecamp_tpu.nn import ECAMP
+
+    rng = np.random.default_rng(5)
+    model_kw = dict(
+        vit=ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                      num_heads=2),
+        decoder=MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+        bert=BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=64,
+                        max_position_embeddings=8))
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32),
+        "ids": jnp.asarray(rng.integers(0, 64, (2, 8)), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 64, (2, 8)), jnp.int32),
+        "attention_mask": jnp.ones((2, 8), jnp.int32),
+        "type_ids": jnp.zeros((2, 8), jnp.int32),
+        "weights": jnp.ones((2, 8), jnp.float32),
+        "column": jnp.full((2,), 24, jnp.int32),
+        "row": jnp.full((2,), 16, jnp.int32)}
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("ECAMP_SR_S2D", flag)
+        m = ECAMP(**model_kw)
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "masking": jax.random.PRNGKey(1)}, batch,
+                   mask_ratio=0.75, deterministic=True)
+        out = m.apply(v, batch, mask_ratio=0.75, deterministic=True,
+                      rngs={"masking": jax.random.PRNGKey(2)})
+        outs[flag] = {k: float(out[k])
+                      for k in ("mim_loss", "res_loss", "mlm_loss")}
+        # identical param trees either way (torch import untouched)
+        assert "conv1" in v["params"]["super_res"]
+    for k in outs["0"]:
+        np.testing.assert_allclose(outs["0"][k], outs["1"][k],
+                                   rtol=1e-5, atol=1e-7)
+
+
 @pytest.mark.parametrize("method", ["bicubic", "bilinear"])
 def test_nchw_resize_matches_nhwc(monkeypatch, method):
     from ecamp_tpu.ops.image_ops import resize_bicubic, resize_bilinear
