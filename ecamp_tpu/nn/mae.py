@@ -81,14 +81,13 @@ class SuperResolutionHead(nn.Module):
             _xla_reference
 
         if self.s2d_io:
-            from ..ops.s2d_sr import sr_conv_stack_s2d
+            from ..ops.s2d_sr import sr_head_s2d
 
             n, h, w, c = x.shape
-            u = resize_bilinear(x, (h * self.scale, w * self.scale))
             w1, b1 = _Conv3x3Params(c, self.channels, name="conv1")()
             w2, b2 = _Conv3x3Params(self.channels, self.channels,
                                     name="conv2")()
-            return sr_conv_stack_s2d(u, w1, b1, w2, b2, b=4)
+            return sr_head_s2d(x, w1, b1, w2, b2)
         if self.nchw_io:
             from ..ops.image_ops import resize_bilinear_nchw
 
@@ -170,16 +169,23 @@ class ECAMP(nn.Module):
             pred = self.image_decoder(latent, ids_restore, deterministic)
             pred_img = unpatchify(pred.astype(self.dtype), c.patch_size,
                                   channels=c.in_chans)
-            pixel_mask, super_mask = mask_to_pixel(
-                mask, batch["column"], batch["row"], c.patch_size,
-                self.sr_scale, self.sr_window)
             # default: space-to-depth SR branch (3-channel 448^2 convs ->
             # 48-channel 112^2, same math — see ops/s2d_sr.py; the res
             # loss is a full-tensor mean of squares, permutation-
             # invariant, so it runs on s2d tensors with no inverse
-            # transform). Kill-switch ECAMP_SR_S2D=0 -> direct layouts.
+            # transform; the 2x upsample is emitted directly in s2d
+            # layout by a fused stride-2 conv and the SR-window mask is
+            # generated at coarse resolution, so NO full-image transpose
+            # remains). Kill-switch ECAMP_SR_S2D=0 -> direct layouts.
             sr_s2d = (os.environ.get("ECAMP_SR_S2D", "1") == "1"
-                      and not sr_nchw)
+                      and not sr_nchw
+                      and big_imgs.shape[1] % 4 == 0
+                      and big_imgs.shape[2] % 4 == 0
+                      and (c.patch_size * self.sr_scale) % 4 == 0)
+            pixel_mask, super_mask = mask_to_pixel(
+                mask, batch["column"], batch["row"], c.patch_size,
+                self.sr_scale, self.sr_window,
+                super_stride=4 if sr_s2d else 1)
             if sr_s2d:
                 from ..ops.s2d_sr import space_to_depth
 
@@ -187,11 +193,9 @@ class ECAMP(nn.Module):
                     self.sr_scale, c.in_chans, dtype=self.dtype,
                     s2d_io=True, name="super_res")(pred_img)
                 big_s2d = space_to_depth(big_imgs, 4)
-                sm_s2d = jnp.repeat(space_to_depth(super_mask, 4),
-                                    c.in_chans, axis=-1)
                 mim_loss, res_loss = masked_pixel_losses(
                     pred_img, imgs, super_pred_s2d, big_s2d,
-                    pixel_mask, sm_s2d)
+                    pixel_mask, super_mask)
             elif sr_nchw:
                 # (N,H,W,1) -> (N,1,H,W) is a pure reshape (size-1 axis)
                 super_pred = SuperResolutionHead(

@@ -57,21 +57,29 @@ def random_masking(rng: jax.Array, x: jnp.ndarray, mask_ratio: float
 
 
 def mask_to_pixel(mask: jnp.ndarray, column: jnp.ndarray, row: jnp.ndarray,
-                  patch_size: int = 16, sr_scale: int = 2, window: int = 12
+                  patch_size: int = 16, sr_scale: int = 2, window: int = 12,
+                  super_stride: int = 1
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Expand a (N, L) patch mask to pixel space, plus the SR loss window.
 
     Returns NHWC masks: pixel_mask (N, g*p, g*p, 1) marking removed patches,
-    super_mask (N, g*p*s, g*p*s, 1) marking the window x window patch block
-    starting at (column, row) — column indexes the vertical patch axis,
-    matching super_mask[i, column:column+12, row:row+12] = 1
-    (model_ecamp.py:208). Channel dim broadcasting replaces the reference's
-    .repeat(1, 3, 1, 1).
+    super_mask (N, g*p*s/super_stride, g*p*s/super_stride, 1) marking the
+    window x window patch block starting at (column, row) — column indexes
+    the vertical patch axis, matching
+    super_mask[i, column:column+12, row:row+12] = 1 (model_ecamp.py:208).
+    Channel dim broadcasting replaces the reference's .repeat(1, 3, 1, 1).
+
+    super_stride > 1 emits the super mask at a coarser resolution for the
+    space-to-depth SR branch: the mask is constant over patch-size*s blocks
+    (32 px), so as long as super_stride divides that block every s2d
+    sub-position channel sees the same value and one (N, H/stride,
+    W/stride, 1) plane broadcasts across all b*b*C channels.
     """
     n, L = mask.shape
     g = int(round(L ** 0.5))
     p = patch_size
     sp = patch_size * sr_scale
+    assert sp % super_stride == 0, (sp, super_stride)
     mask2d = mask.reshape(n, g, g)
     pixel_mask = jnp.repeat(jnp.repeat(mask2d, p, axis=1), p, axis=2)
 
@@ -81,7 +89,8 @@ def mask_to_pixel(mask: jnp.ndarray, column: jnp.ndarray, row: jnp.ndarray,
     in_rows = (idx[None, :] >= col) & (idx[None, :] < col + window)  # (N, g)
     in_cols = (idx[None, :] >= row_) & (idx[None, :] < row_ + window)
     super2d = (in_rows[:, :, None] & in_cols[:, None, :]).astype(mask.dtype)
-    super_mask = jnp.repeat(jnp.repeat(super2d, sp, axis=1), sp, axis=2)
+    rep = sp // super_stride
+    super_mask = jnp.repeat(jnp.repeat(super2d, rep, axis=1), rep, axis=2)
     return pixel_mask[..., None], super_mask[..., None]
 
 

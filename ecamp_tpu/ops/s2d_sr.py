@@ -19,6 +19,8 @@ tests/test_layout_variants.py; the end-to-end A/B lives in DESIGN.md.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -79,6 +81,62 @@ def fine3x3_to_coarse(w: jnp.ndarray, b: int) -> jnp.ndarray:
 def coarse_bias(bias: jnp.ndarray, b: int) -> jnp.ndarray:
     """(co,) -> (b*b*co,): channel (oy, ox, c) keeps bias[c]."""
     return jnp.tile(bias, b * b)
+
+
+@functools.lru_cache(maxsize=None)
+def _up2_s2d_kernel(c: int) -> np.ndarray:
+    """(4, 4, c, 16*c) stride-2 conv kernel computing 2x bilinear upsample
+    (align_corners=False, same taps as ops.image_ops.resize_bilinear)
+    fused with space_to_depth(b=4), for edge-padded VALID convolution.
+
+    Fine output row i = 4*yc + py reads input rows 2*yc + {-1..2} with
+    2-tap weights that depend only on py (the half-pixel grid src =
+    i/2 - 0.25 never crosses a sample at the b=4 / scale=2 commensurate
+    stride), so one 4x4 stride-2 kernel reproduces the whole map; border
+    clamping is exactly edge padding by 1. The per-py taps are extracted
+    from the resize weight matrix itself (an interior row block) so the
+    two formulations cannot drift.
+    """
+    from .image_ops import _resize_matrix
+
+    m = np.asarray(_resize_matrix(8, 16, "bilinear"), np.float64)
+    # interior block yc=1: fine rows 4..7, taps at input rows 1..4
+    wy = m[4:8, 1:5]
+    k = np.zeros((4, 4, c, 16 * c), np.float32)
+    for py in range(4):
+        for px in range(4):
+            tap = np.outer(wy[py], wy[px]).astype(np.float32)
+            for ci in range(c):
+                k[:, :, ci, (py * 4 + px) * c + ci] = tap
+    return k
+
+
+def upsample2x_s2d(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/2, W/2, 16*C): bilinear 2x upsample emitted
+    directly in space-to-depth(b=4) layout. Exactly equals
+    space_to_depth(resize_bilinear(x, (2H, 2W)), 4) with NO transpose of
+    the fine grid (the ~0.5 ms/step full-image layout copy the profile
+    flagged), and its VJP is a transposed conv straight back to (H, W)."""
+    c = int(x.shape[-1])
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    k = jnp.asarray(_up2_s2d_kernel(c), x.dtype)
+    return lax.conv_general_dilated(
+        xp, k, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def sr_head_s2d(x: jnp.ndarray, w1, b1, w2, b2) -> jnp.ndarray:
+    """Full SR head (model_ecamp.py:37-46) on the space-to-depth grid:
+    fused upsample->s2d, then conv1 -> relu -> conv2 -> +residual -> relu
+    with the coarse-transformed kernels. In: (N, H, W, C) at the encoder
+    resolution; out: (N, H/2, W/2, 16*C) — s2d(b=4) of the 2x fine grid."""
+    us = upsample2x_s2d(x)
+    cw1 = fine3x3_to_coarse(w1, 4)
+    cw2 = fine3x3_to_coarse(w2, 4)
+    h = _conv_same(us, cw1) + coarse_bias(b1, 4).astype(us.dtype)
+    h = jnp.maximum(h, 0)
+    h = _conv_same(h, cw2) + coarse_bias(b2, 4).astype(us.dtype)
+    return jnp.maximum(h + us, 0)
 
 
 def _conv_same(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

@@ -124,6 +124,21 @@ def test_s2d_conv_stack_matches_direct():
         np.asarray(depth_to_space(space_to_depth(u, 4), 4)), np.asarray(u))
 
 
+def test_upsample2x_s2d_matches_resize_then_s2d():
+    """The fused stride-2 conv (upsample emitted in s2d layout) must equal
+    resize_bilinear -> space_to_depth, including the clamped borders."""
+    from ecamp_tpu.ops.image_ops import resize_bilinear
+    from ecamp_tpu.ops.s2d_sr import space_to_depth, upsample2x_s2d
+
+    rng = np.random.default_rng(7)
+    for h, w in ((16, 16), (224, 32), (12, 20)):
+        x = jnp.asarray(rng.normal(size=(2, h, w, 3)), jnp.float32)
+        want = space_to_depth(resize_bilinear(x, (2 * h, 2 * w)), 4)
+        got = upsample2x_s2d(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_sr_s2d_model_losses_match_direct(monkeypatch):
     """ECAMP_SR_S2D (default on) must leave all three pretrain losses
     unchanged vs the direct NHWC SR branch: the conv math is exact and the
