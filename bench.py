@@ -67,9 +67,39 @@ def synthetic_batch(pcfg, task):
 
 
 def bench_synthetic():
+    # ECAMP_BENCH_SCAN=K>1 measures the K-steps-per-dispatch lax.scan
+    # train call (PretrainTask.make_train_step_scan, CLI --steps_per_call)
+    # — same math, host dispatch paid once per K steps. Default 1 keeps
+    # the per-step dispatch path the CLIs use by default.
+    scan_k = int(os.environ.get("ECAMP_BENCH_SCAN", "1"))
     pcfg, task, state = make_task()
     batch = synthetic_batch(pcfg, task)
     key = jax.random.PRNGKey(1)
+    if scan_k > 1:
+        import numpy as _np
+
+        host = {k: _np.asarray(v) for k, v in batch.items()}
+        super_b = task.shard_superbatch([host] * scan_k)
+        scan_step = task.make_train_step_scan(state)
+        steps = max(1, STEPS // scan_k)
+        for _ in range(max(1, WARMUP // scan_k)):
+            state, metrics = scan_step(state, super_b, key)
+        float(metrics["loss"][-1])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = scan_step(state, super_b, key)
+        float(metrics["loss"][-1])
+        dt = time.perf_counter() - t0
+        n_chips = jax.device_count()
+        img_per_sec_per_chip = BATCH * scan_k * steps / dt / n_chips
+        print(json.dumps({
+            "metric": "ecamp_pretrain_images_per_sec_per_chip",
+            "value": round(img_per_sec_per_chip, 2),
+            "unit": "img/s/chip",
+            "vs_baseline": round(
+                img_per_sec_per_chip / A100_REFERENCE_IMG_PER_SEC, 3),
+        }))
+        return img_per_sec_per_chip
     for _ in range(WARMUP):
         state, metrics = task.train_step(state, batch, key)
     float(metrics["loss"])  # hard sync (block_until_ready proved unreliable

@@ -53,6 +53,12 @@ def get_args():
                         "tensor (XLA path) instead of the default "
                         "same-rate output dropout (fused kernel); see "
                         "DESIGN.md for the measured A/B")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="optimizer steps per device dispatch (lax.scan "
+                        "over a stacked superbatch) — identical numerics, "
+                        "host dispatch paid once per K steps; useful when "
+                        "dispatch latency is high (remote accelerators). "
+                        "Logging granularity becomes K steps.")
     p.add_argument("--shard_optimizer", action="store_true",
                    help="ZeRO-1: shard AdamW moments (and accumulation "
                         "buffers) over the data mesh axis instead of "
@@ -160,6 +166,34 @@ def main():
 
     from ..core.mesh import prefetch_to_device
 
+    scan_k = max(1, args.steps_per_call)
+    scan_step = task.make_train_step_scan(state) if scan_k > 1 else None
+
+    def _superbatches(host_iter):
+        """Group K host batches -> placed (K, B, ...) superbatches,
+        one placed ahead (device_put is async, so this double-buffers
+        H2D like prefetch_to_device). A final short group is yielded as
+        the raw host list and run through the per-step path."""
+        from collections import deque
+
+        def groups():
+            buf = []
+            for b in host_iter:
+                buf.append(b)
+                if len(buf) == scan_k:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        q = deque()
+        for g in groups():
+            q.append(task.shard_superbatch(g) if len(g) == scan_k else g)
+            if len(q) >= 2:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
     for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
         logger = MetricLogger()
@@ -167,15 +201,46 @@ def main():
         # sync of step N's metrics happens AFTER step N+1 is dispatched,
         # so host logging never stalls the device
         pending = None
-        for sharded in logger.log_every(
-                prefetch_to_device(iter(loader), task.mesh),
-                args.print_freq, header=f"Epoch [{epoch}]"):
-            state, metrics = task.train_step(state, sharded, step_rng)
-            if pending is not None:
-                logger.update(**{k: float(v) for k, v in pending.items()})
-            pending = metrics
+
+        def _flush(metrics):
+            # scan metrics are stacked (K,); per-step are scalars
+            arrs = {k: np.atleast_1d(np.asarray(v))
+                    for k, v in metrics.items()}
+            for i in range(next(iter(arrs.values())).shape[0]):
+                logger.update(**{k: float(v[i]) for k, v in arrs.items()})
+
+        if scan_k > 1:
+            for item in logger.log_every(
+                    _superbatches(iter(loader)), args.print_freq,
+                    header=f"Epoch [{epoch}]"):
+                if isinstance(item, list):  # short final group
+                    ndata = task.mesh.shape[task.mesh.axis_names[0]]
+                    for b in item:
+                        # same divisibility fallback as the fine-tune
+                        # placers: replicated when the batch can't shard
+                        ok = (jax.process_count() > 1
+                              or b["image"].shape[0] % ndata == 0)
+                        state, metrics = task.train_step(
+                            state, task.shard_batch(b) if ok else b,
+                            step_rng)
+                        if pending is not None:
+                            _flush(pending)
+                        pending = metrics
+                else:
+                    state, metrics = scan_step(state, item, step_rng)
+                    if pending is not None:
+                        _flush(pending)
+                    pending = metrics
+        else:
+            for sharded in logger.log_every(
+                    prefetch_to_device(iter(loader), task.mesh),
+                    args.print_freq, header=f"Epoch [{epoch}]"):
+                state, metrics = task.train_step(state, sharded, step_rng)
+                if pending is not None:
+                    _flush(pending)
+                pending = metrics
         if pending is not None:
-            logger.update(**{k: float(v) for k, v in pending.items()})
+            _flush(pending)
         logger.synchronize_between_processes()
         from ..core.metrics import device_memory_mb
 

@@ -139,6 +139,34 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_superbatch(mesh: Mesh, batch):
+    """Place a (K, B, ...) stacked superbatch (pytree of np arrays) with
+    the BATCH axis (axis 1) sharded over 'data' and the leading scan axis
+    replicated — the input layout for PretrainTask.make_train_step_scan.
+    Multi-process: each process holds its (K, B_local, ...) shard of the
+    global (K, B_local * process_count, ...) array, mirroring
+    shard_batch's DistributedSampler semantics per scan slice.
+    Single-process batches that do not divide by the data-axis size fall
+    back to replicated placement (correct, not data-parallel — same
+    policy as the fine-tune batch placers, cli/common.py)."""
+    nproc = jax.process_count()
+    ndata = mesh.shape[mesh.axis_names[0]]
+
+    def put(x):
+        x = np.asarray(x)
+        if nproc == 1 and x.shape[1] % ndata != 0:
+            return jax.device_put(x, replicated_sharding(mesh))
+        spec = P(None, mesh.axis_names[0], *([None] * max(x.ndim - 2, 0)))
+        sh = NamedSharding(mesh, spec)
+        if nproc == 1:
+            return jax.device_put(x, sh)
+        gshape = (x.shape[0], x.shape[1] * nproc) + x.shape[2:]
+        return jax.make_array_from_process_local_data(sh, x,
+                                                      global_shape=gshape)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
     """Double-buffered sharded host->device transfer.
 

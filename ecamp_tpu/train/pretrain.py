@@ -113,35 +113,58 @@ class PretrainTask:
         return loss, {"mim_loss": out["mim_loss"], "res_loss": out["res_loss"],
                       "mlm_loss": out["mlm_loss"]}
 
-    def make_train_step(self, state: TrainState = None):
+    def _out_constraint(self, state):
         # Pin the output state to the input layout: under ZeRO-1 the
         # moments come in sharded over 'data' and must leave the same way
         # (GSPMD then computes moment updates shard-local and all-gathers
         # only the param updates); without the constraint propagation may
         # flip layouts between steps and re-shuffle the state every call.
-        out_constraint = None
         if state is not None and self.cfg.mesh.shard_optimizer:
-            out_constraint = jax.tree_util.tree_map(
-                lambda x: x.sharding, state)
+            return jax.tree_util.tree_map(lambda x: x.sharding, state)
+        return None
+
+    def _step_body(self, state: TrainState, batch, rng, out_constraint):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, aux), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(state.params, batch, rng)
+        new_state = state.replace(tx=self.tx).apply_gradients(grads)
+        if out_constraint is not None:
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, out_constraint)
+        # log the lr the optimizer actually APPLIES: under grad
+        # accumulation the update covering this micro-step uses the
+        # schedule value at its cycle-start micro-step (reference
+        # main_pretrain.py:136-138 adjusts lr when iter % accum == 0)
+        accum = max(1, self.cfg.optimizer.accum_steps)
+        applied = (state.step // accum) * accum
+        aux = dict(aux, loss=loss, lr=self.schedule(applied))
+        return new_state, aux
+
+    def make_train_step(self, state: TrainState = None):
+        oc = self._out_constraint(state)
 
         def step_fn(state: TrainState, batch, rng):
-            rng = jax.random.fold_in(rng, state.step)
-            (loss, aux), grads = jax.value_and_grad(
-                self._loss_fn, has_aux=True)(state.params, batch, rng)
-            new_state = state.replace(tx=self.tx).apply_gradients(grads)
-            if out_constraint is not None:
-                new_state = jax.lax.with_sharding_constraint(
-                    new_state, out_constraint)
-            # log the lr the optimizer actually APPLIES: under grad
-            # accumulation the update covering this micro-step uses the
-            # schedule value at its cycle-start micro-step (reference
-            # main_pretrain.py:136-138 adjusts lr when iter % accum == 0)
-            accum = max(1, self.cfg.optimizer.accum_steps)
-            applied = (state.step // accum) * accum
-            aux = dict(aux, loss=loss, lr=self.schedule(applied))
-            return new_state, aux
+            return self._step_body(state, batch, rng, oc)
 
         return jax.jit(step_fn, donate_argnums=(0,))
+
+    def make_train_step_scan(self, state: TrainState = None):
+        """K optimizer steps per dispatch via lax.scan over a (K, B, ...)
+        superbatch — bitwise-identical to K sequential train_step calls
+        with the same base rng (each iteration folds in its own
+        state.step), but pays host->device dispatch once per K steps.
+        Metrics come back stacked (K,) per key. The production lever for
+        dispatch-latency-dominated links (remote/tunneled accelerators);
+        --steps_per_call in the pretrain CLI."""
+        oc = self._out_constraint(state)
+
+        def scan_fn(state: TrainState, batches, rng):
+            def body(st, batch):
+                return self._step_body(st, batch, rng, oc)
+
+            return jax.lax.scan(body, state, batches)
+
+        return jax.jit(scan_fn, donate_argnums=(0,))
 
     def train_step(self, state, batch, rng):
         if self._train_step is None:
@@ -152,3 +175,15 @@ class PretrainTask:
         from ..core.mesh import shard_batch
 
         return shard_batch(self.mesh, batch)
+
+    def shard_superbatch(self, batches):
+        """Stack K host batches into one (K, B, ...) superbatch for
+        make_train_step_scan, sharded over 'data' on the BATCH axis
+        (axis 1); the scan axis is unsharded."""
+        import numpy as np
+
+        from ..core.mesh import shard_superbatch
+
+        stacked = {k: np.stack([b[k] for b in batches])
+                   for k in batches[0]}
+        return shard_superbatch(self.mesh, stacked)

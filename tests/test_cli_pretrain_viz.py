@@ -110,6 +110,47 @@ def test_pretrain_cli_e2e(toy_mimic, tmp_path, monkeypatch, capsys):
     assert (out / "ckpt").exists()
 
 
+def test_pretrain_cli_steps_per_call(toy_mimic, tmp_path, monkeypatch,
+                                     capsys):
+    """--steps_per_call 3 over 4 steps/epoch exercises both the scan
+    superbatch path (one group of 3) and the short-final-group fallback
+    (1 per-step call), with per-step metrics still logged."""
+    from ecamp_tpu.cli import pretrain
+
+    out = tmp_path / "out_scan"
+    argv = ["pretrain", "--data_path", str(toy_mimic),
+            "--batch_size", "2", "--epochs", "1", "--max_epoch", "4",
+            "--warmup_epochs", "1", "--input_size", "64",
+            "--max_caption_length", "16", "--steps_per_call", "3",
+            "--num_workers", "2", "--output_dir", str(out), "--no_bf16",
+            "--print_freq", "1"]
+    monkeypatch.setattr(sys, "argv", argv)
+    from ecamp_tpu.core import config as cfg
+
+    tiny_kw = dict(
+        vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                          num_heads=2),
+        decoder=cfg.MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+        bert=cfg.BertConfig(vocab_size=32, hidden_size=32,
+                            num_hidden_layers=1, num_attention_heads=2,
+                            intermediate_size=64, max_position_embeddings=16),
+        sr_window=1, max_caption_length=16)
+    orig = cfg.PretrainConfig
+
+    def tiny_config(**kw):
+        merged = dict(tiny_kw)
+        merged.update({k: v for k, v in kw.items() if k not in merged})
+        return orig(**merged)
+
+    monkeypatch.setattr(cfg, "PretrainConfig", tiny_config)
+    monkeypatch.setattr(pretrain.cfg, "PretrainConfig", tiny_config)
+    pretrain.main()
+    log = (out / "log.txt").read_text().strip().splitlines()
+    assert len(log) == 1
+    rec = json.loads(log[-1])
+    assert np.isfinite(rec["loss"]) and "mlm_loss" in rec
+
+
 def test_full_lifecycle_pretrain_export_finetune(toy_mimic, tmp_path,
                                                  monkeypatch, capsys):
     """The reference README's whole workflow, chained: pretrain ->

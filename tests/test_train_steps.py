@@ -182,6 +182,65 @@ def test_remat_matches_exact():
                                atol=1e-7)
 
 
+def test_scan_train_step_matches_sequential():
+    """make_train_step_scan (K optimizer steps per dispatch, CLI
+    --steps_per_call) must reproduce K sequential train_step calls: same
+    per-step rng folding (each scan iteration folds in its own
+    state.step), same losses, same final params."""
+    from ecamp_tpu.train.pretrain import PretrainTask
+
+    tiny = cfg.PretrainConfig(
+        vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                          depth=1, num_heads=2),
+        decoder=cfg.MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+        bert=cfg.BertConfig(vocab_size=64, hidden_size=32,
+                            num_hidden_layers=1, num_attention_heads=2,
+                            intermediate_size=64,
+                            max_position_embeddings=8),
+        optimizer=cfg.OptimizerConfig(schedule="constant", lr=1e-3),
+        data=cfg.DataConfig(img_size=64), mesh=cfg.MeshConfig(data=1),
+        sr_window=1, max_caption_length=8, bf16=False)
+
+    rng = np.random.default_rng(9)
+
+    def mk_batch():
+        return {
+            "image": rng.normal(size=(2, 64, 64, 3)).astype(np.float32),
+            "ids": rng.integers(0, 64, (2, 8)).astype(np.int32),
+            "labels": rng.integers(0, 64, (2, 8)).astype(np.int32),
+            "attention_mask": np.ones((2, 8), np.int32),
+            "type_ids": np.zeros((2, 8), np.int32),
+            "weights": np.ones((2, 8), np.float32),
+            "column": np.zeros((2,), np.int32),
+            "row": np.zeros((2,), np.int32)}
+
+    batches = [mk_batch() for _ in range(3)]
+    key = jax.random.PRNGKey(11)
+
+    def build():
+        task = PretrainTask(tiny, mesh=make_mesh(tiny.mesh,
+                                                 devices=jax.devices()[:1]))
+        return task, task.init_state(jax.random.PRNGKey(0))
+
+    task, state = build()
+    seq_losses = []
+    for b in batches:
+        state, m = task.train_step(state, task.shard_batch(b), key)
+        seq_losses.append(float(m["loss"]))
+    seq_params = np.asarray(state.params["cls_token"])
+
+    task2, state2 = build()
+    scan_step = task2.make_train_step_scan(state2)
+    super_b = task2.shard_superbatch(batches)
+    state2, ms = scan_step(state2, super_b, key)
+    scan_losses = [float(v) for v in np.asarray(ms["loss"])]
+    assert int(state2.step) == 3
+
+    np.testing.assert_allclose(scan_losses, seq_losses, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state2.params["cls_token"]),
+                               seq_params, rtol=1e-6, atol=1e-8)
+
+
 def test_frozen_encoder_stop_gradient_updates_identical():
     """stop_trunk_grad (skip dead backward under freeze) must produce the
     exact same post-step params as computing-then-masking the grads."""
