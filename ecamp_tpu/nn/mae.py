@@ -83,6 +83,7 @@ class SuperResolutionHead(nn.Module):
         if self.s2d_io:
             from ..ops.s2d_sr import sr_head_s2d
 
+            assert self.scale == 2, "s2d SR head hardcodes 2x upsample/b=4"
             n, h, w, c = x.shape
             w1, b1 = _Conv3x3Params(c, self.channels, name="conv1")()
             w2, b2 = _Conv3x3Params(self.channels, self.channels,
@@ -179,6 +180,7 @@ class ECAMP(nn.Module):
             # remains). Kill-switch ECAMP_SR_S2D=0 -> direct layouts.
             sr_s2d = (os.environ.get("ECAMP_SR_S2D", "1") == "1"
                       and not sr_nchw
+                      and self.sr_scale == 2  # s2d head hardcodes 2x/b=4
                       and big_imgs.shape[1] % 4 == 0
                       and big_imgs.shape[2] % 4 == 0
                       and (c.patch_size * self.sr_scale) % 4 == 0)

@@ -80,18 +80,16 @@ def _resize_matmul(x: jnp.ndarray, size: Tuple[int, int],
     import os
 
     n, h, w, c = x.shape
-    mh = jnp.asarray(_resize_matrix(h, size[0], method), x.dtype)
-    mw = jnp.asarray(_resize_matrix(w, size[1], method), x.dtype)
-    # fp32 callers (parity/eval) get full-precision taps; the bf16 hot
-    # path keeps single-pass MXU matmuls (default precision)
-    prec = "highest" if x.dtype == jnp.float32 else None
     if os.environ.get("ECAMP_RESIZE_NHWC") == "1":
+        mh = jnp.asarray(_resize_matrix(h, size[0], method), x.dtype)
+        mw = jnp.asarray(_resize_matrix(w, size[1], method), x.dtype)
+        # fp32 callers (parity/eval) get full-precision taps; the bf16
+        # hot path keeps single-pass MXU matmuls (default precision)
+        prec = "highest" if x.dtype == jnp.float32 else None
         y = jnp.einsum("oh,bhwc->bowc", mh, x, precision=prec)
         return jnp.einsum("pw,bowc->bopc", mw, y, precision=prec)
-    z = jnp.transpose(x, (0, 3, 1, 2))  # b c h w
-    y = jnp.einsum("oh,bchw->bcow", mh, z, precision=prec)
-    y = jnp.einsum("pw,bcow->bcop", mw, y, precision=prec)
-    return jnp.transpose(y, (0, 2, 3, 1))
+    z = _resize_matmul_nchw(jnp.transpose(x, (0, 3, 1, 2)), size, method)
+    return jnp.transpose(z, (0, 2, 3, 1))
 
 
 def resize_bicubic(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:

@@ -125,41 +125,39 @@ def upsample2x_s2d(x: jnp.ndarray) -> jnp.ndarray:
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def sr_head_s2d(x: jnp.ndarray, w1, b1, w2, b2) -> jnp.ndarray:
-    """Full SR head (model_ecamp.py:37-46) on the space-to-depth grid:
-    fused upsample->s2d, then conv1 -> relu -> conv2 -> +residual -> relu
-    with the coarse-transformed kernels. In: (N, H, W, C) at the encoder
-    resolution; out: (N, H/2, W/2, 16*C) — s2d(b=4) of the 2x fine grid."""
-    us = upsample2x_s2d(x)
-    cw1 = fine3x3_to_coarse(w1, 4)
-    cw2 = fine3x3_to_coarse(w2, 4)
-    h = _conv_same(us, cw1) + coarse_bias(b1, 4).astype(us.dtype)
-    h = jnp.maximum(h, 0)
-    h = _conv_same(h, cw2) + coarse_bias(b2, 4).astype(us.dtype)
-    return jnp.maximum(h + us, 0)
-
-
 def _conv_same(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def sr_conv_stack_s2d(u: jnp.ndarray, w1, b1, w2, b2,
-                      b: int = 4) -> jnp.ndarray:
-    """conv1 -> relu -> conv2 -> +residual -> relu of the SR head
-    (model_ecamp.py:37-46) on the space-to-depth grid.
-
-    u: the bilinear-upsampled image, (N, H, W, C) NHWC fine grid.
-    Returns the result STILL in s2d layout (N, H/b, W/b, b*b*C) — the
-    res-loss (full-tensor mean of squares) is permutation-invariant, so
-    callers compare against space_to_depth(target) and never pay the
-    inverse transform.
-    """
-    us = space_to_depth(u, b)
+def _conv_stack_on_s2d(us: jnp.ndarray, w1, b1, w2, b2,
+                       b: int) -> jnp.ndarray:
+    """conv1 -> relu -> conv2 -> +residual -> relu (model_ecamp.py:37-46)
+    on an already-space-to-depth input, with the coarse-transformed
+    kernels. The single body behind sr_head_s2d and sr_conv_stack_s2d so
+    the tested and the production path cannot diverge."""
     cw1 = fine3x3_to_coarse(w1, b)
     cw2 = fine3x3_to_coarse(w2, b)
     h = _conv_same(us, cw1) + coarse_bias(b1, b).astype(us.dtype)
     h = jnp.maximum(h, 0)
     h = _conv_same(h, cw2) + coarse_bias(b2, b).astype(us.dtype)
     return jnp.maximum(h + us, 0)
+
+
+def sr_head_s2d(x: jnp.ndarray, w1, b1, w2, b2) -> jnp.ndarray:
+    """Full SR head (model_ecamp.py:37-46) on the space-to-depth grid:
+    fused upsample->s2d, then the conv stack. In: (N, H, W, C) at the
+    encoder resolution; out: (N, H/2, W/2, 16*C) — s2d(b=4) of the 2x
+    fine grid."""
+    return _conv_stack_on_s2d(upsample2x_s2d(x), w1, b1, w2, b2, 4)
+
+
+def sr_conv_stack_s2d(u: jnp.ndarray, w1, b1, w2, b2,
+                      b: int = 4) -> jnp.ndarray:
+    """The SR conv stack taking the bilinear-upsampled image u on the
+    (N, H, W, C) NHWC fine grid. Returns the result STILL in s2d layout
+    (N, H/b, W/b, b*b*C) — the res-loss (full-tensor mean of squares) is
+    permutation-invariant, so callers compare against
+    space_to_depth(target) and never pay the inverse transform."""
+    return _conv_stack_on_s2d(space_to_depth(u, b), w1, b1, w2, b2, b)

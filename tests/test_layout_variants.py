@@ -154,7 +154,11 @@ def test_sr_s2d_model_losses_match_direct(monkeypatch):
         decoder=MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
         bert=BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
                         num_attention_heads=2, intermediate_size=64,
-                        max_position_embeddings=8))
+                        max_position_embeddings=8),
+        # window=1 on the g=2 patch grid with per-sample (column, row)
+        # offsets -> a PARTIAL SR mask, so the res-loss comparison
+        # actually exercises the coarse super_stride mask replication
+        sr_window=1)
     batch = {
         "image": jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32),
         "ids": jnp.asarray(rng.integers(0, 64, (2, 8)), jnp.int32),
@@ -162,8 +166,8 @@ def test_sr_s2d_model_losses_match_direct(monkeypatch):
         "attention_mask": jnp.ones((2, 8), jnp.int32),
         "type_ids": jnp.zeros((2, 8), jnp.int32),
         "weights": jnp.ones((2, 8), jnp.float32),
-        "column": jnp.full((2,), 24, jnp.int32),
-        "row": jnp.full((2,), 16, jnp.int32)}
+        "column": jnp.asarray([0, 1], jnp.int32),
+        "row": jnp.asarray([1, 0], jnp.int32)}
 
     outs = {}
     for flag in ("0", "1"):
@@ -178,6 +182,9 @@ def test_sr_s2d_model_losses_match_direct(monkeypatch):
                       for k in ("mim_loss", "res_loss", "mlm_loss")}
         # identical param trees either way (torch import untouched)
         assert "conv1" in v["params"]["super_res"]
+        # the partial window must hit some pixels — a zero res_loss would
+        # make this comparison vacuous
+        assert outs[flag]["res_loss"] > 0
     for k in outs["0"]:
         np.testing.assert_allclose(outs["0"][k], outs["1"][k],
                                    rtol=1e-5, atol=1e-7)
