@@ -38,6 +38,10 @@ def get_args():
     p.add_argument("--mean", type=float, default=0.4722)
     p.add_argument("--std", type=float, default=0.3028)
     p.add_argument("--buckets", type=int, nargs="+", default=None)
+    p.add_argument("--quantize", default="", choices=["", "int8"],
+                   help="int8: weight-only per-output-channel "
+                        "quantization (halves weight HBM reads — the "
+                        "small-batch latency bound; serve/quantize.py)")
     p.add_argument("--class_names", nargs="+", default=None)
     # serve mode
     p.add_argument("--host", default="127.0.0.1")
@@ -55,7 +59,8 @@ def build_engine(args):
     from ..serve import (classifier_engine, detector_engine,
                          embedding_engine, segmenter_engine)
 
-    kw = {"checkpoint": args.checkpoint, "img_size": args.img_size}
+    kw = {"checkpoint": args.checkpoint, "img_size": args.img_size,
+          "quantize": args.quantize}
     if args.buckets:
         kw["buckets"] = tuple(args.buckets)
     if args.task == "classification":

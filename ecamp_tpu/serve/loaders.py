@@ -33,11 +33,25 @@ def _load_params(variables, checkpoint: str, importer, has_batch_stats=False):
     return variables
 
 
+def _maybe_quantize(apply_fn, params, quantize: str):
+    """quantize='int8': per-output-channel weight-only int8 (see
+    serve/quantize.py) — params become {'weights', 'scales'} and apply_fn
+    dequantizes in-trace (fused into the consuming dots)."""
+    if not quantize:
+        return apply_fn, params
+    if quantize != "int8":
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+    from .quantize import quantize_params_int8, wrap_apply_fn
+
+    return wrap_apply_fn(apply_fn), quantize_params_int8(params)
+
+
 def classifier_engine(checkpoint: str = "", num_classes: int = 14,
                       img_size: int = 224, multilabel: bool = True,
                       vit: Optional[cfg.ViTConfig] = None,
                       buckets=(8, 32, 64), mesh=None,
-                      bf16: bool = True) -> InferenceEngine:
+                      bf16: bool = True,
+                      quantize: str = "") -> InferenceEngine:
     """Serve ViTClassifier logits -> probabilities (sigmoid for multilabel
     BCE tasks, softmax for single-label CE tasks — Classification/
     train.py:199-202 semantics)."""
@@ -57,7 +71,9 @@ def classifier_engine(checkpoint: str = "", num_classes: int = 14,
         return model.apply({"params": params}, x).astype(jnp.float32)
 
     post = sigmoid_np if multilabel else softmax_np
-    return InferenceEngine(apply_fn, variables["params"], mesh=mesh,
+    apply_fn, params = _maybe_quantize(apply_fn, variables["params"],
+                                       quantize)
+    return InferenceEngine(apply_fn, params, mesh=mesh,
                            buckets=buckets, postprocess=post,
                            input_dtype=policy(bf16).compute_dtype)
 
@@ -65,7 +81,8 @@ def classifier_engine(checkpoint: str = "", num_classes: int = 14,
 def segmenter_engine(checkpoint: str = "", img_size: int = 224,
                      dual: bool = False, vit: Optional[cfg.ViTConfig] = None,
                      buckets=(8, 32), mesh=None,
-                     bf16: bool = True) -> InferenceEngine:
+                     bf16: bool = True,
+                     quantize: str = "") -> InferenceEngine:
     """Serve SegViT sigmoid masks (B, H, W, 1); dual=True serves the RIGA
     disc/cup pair stacked on the channel axis."""
     from ..ckpt import import_seg_vit
@@ -94,6 +111,7 @@ def segmenter_engine(checkpoint: str = "", img_size: int = 224,
     v = {"params": variables["params"]}
     if "batch_stats" in variables:
         v["batch_stats"] = variables["batch_stats"]
+    apply_fn, v = _maybe_quantize(apply_fn, v, quantize)
     return InferenceEngine(apply_fn, v, mesh=mesh, buckets=buckets,
                            input_dtype=policy(bf16).compute_dtype)
 
@@ -102,7 +120,8 @@ def detector_engine(checkpoint: str = "", img_size: int = 224,
                     num_classes: int = 1, expansion: int = 4,
                     conf_threshold: float = 0.5, nms_threshold: float = 0.5,
                     buckets=(8, 16), mesh=None,
-                    bf16: bool = True) -> InferenceEngine:
+                    bf16: bool = True,
+                    quantize: str = "") -> InferenceEngine:
     """Serve YOLOv3 detections: on-device decode of all 3 scales to
     (B, N, 5+C) candidates, host-side NMS in postprocess. Returns a list
     (len B) of (k_i, 7) arrays [x1 y1 x2 y2 conf cls_conf cls] or None —
@@ -139,6 +158,7 @@ def detector_engine(checkpoint: str = "", img_size: int = 224,
     v = {"params": variables["params"]}
     if "batch_stats" in variables:
         v["batch_stats"] = variables["batch_stats"]
+    apply_fn, v = _maybe_quantize(apply_fn, v, quantize)
     return InferenceEngine(apply_fn, v, mesh=mesh, buckets=buckets,
                            postprocess=post,
                            input_dtype=policy(bf16).compute_dtype)
@@ -146,7 +166,8 @@ def detector_engine(checkpoint: str = "", img_size: int = 224,
 
 def embedding_engine(checkpoint: str = "", img_size: int = 224,
                      buckets=(8, 32), mesh=None,
-                     bf16: bool = True) -> InferenceEngine:
+                     bf16: bool = True,
+                     quantize: str = "") -> InferenceEngine:
     """Serve L2-normalized ECAMP image embeddings (the GAP of the encoder
     latents that feeds the report decoder, model_ecamp.py:267-273) — the
     natural retrieval/indexing feature of the pretrained model."""
@@ -173,6 +194,8 @@ def embedding_engine(checkpoint: str = "", img_size: int = 224,
         feat = out["gap_feature"].astype(jnp.float32)
         return feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
 
-    return InferenceEngine(apply_fn, variables["params"], mesh=mesh,
+    apply_fn, params = _maybe_quantize(apply_fn, variables["params"],
+                                       quantize)
+    return InferenceEngine(apply_fn, params, mesh=mesh,
                            buckets=buckets,
                            input_dtype=policy(bf16).compute_dtype)

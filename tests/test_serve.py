@@ -254,3 +254,76 @@ def test_restore_without_template_returns_raw_tree(tmp_path):
     r = restore_checkpoint(d)
     assert set(r) == {"params", "opt_state", "step"}
     assert int(np.asarray(r["step"])) == 5
+
+
+def test_int8_quantization_roundtrip_and_engine():
+    """serve/quantize.py: per-output-channel int8 dequantizes to within
+    ~0.6% relative error per kernel, non-kernel leaves pass through
+    untouched, and a quantized engine's probabilities track the fp
+    engine closely on a real forward."""
+    from ecamp_tpu.nn import ViTClassifier
+    from ecamp_tpu.serve.quantize import (dequantize, quantization_error,
+                                          quantize_params_int8,
+                                          wrap_apply_fn)
+
+    model = ViTClassifier(TINY, 3, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
+    params = variables["params"]
+
+    q = quantize_params_int8(params, min_elems=256)
+    # some kernels actually got quantized
+    int8_leaves = [x for x in jax.tree_util.tree_leaves(q["weights"])
+                   if getattr(x, "dtype", None) == np.int8]
+    assert len(int8_leaves) == len(q["scales"]) > 0
+    # biases/LN/cls_token untouched
+    np.testing.assert_array_equal(
+        np.asarray(q["weights"]["trunk"]["cls_token"]),
+        np.asarray(params["trunk"]["cls_token"]))
+    assert quantization_error(params, q) < 0.006
+
+    def apply_fn(p, x):
+        return model.apply({"params": p}, x)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    ref = np.asarray(apply_fn(params, jnp.asarray(x)))
+    got = np.asarray(jax.jit(wrap_apply_fn(apply_fn))(
+        jax.tree_util.tree_map(jnp.asarray, q), jnp.asarray(x)))
+    # weight-only int8 on a random-init head: logits track to ~1e-2
+    np.testing.assert_allclose(got, ref, atol=5e-2, rtol=0.1)
+
+    # scale factoring identity on a quantized 2D kernel:
+    # (x @ q) * s == x @ (q * s) per output column
+    deq_tree = dequantize(jax.tree_util.tree_map(jnp.asarray, q))
+    key = next(k for k, s in q["scales"].items() if s.ndim == 1)
+
+    def get(tree, key):
+        node = tree
+        for part in key.split("/"):
+            node = node[part]
+        return np.asarray(node, np.float32)
+
+    qk, dk = get(q["weights"], key), get(deq_tree, key)
+    assert qk.ndim == 2
+    xs = rng.normal(size=(5, qk.shape[0])).astype(np.float32)
+    np.testing.assert_allclose(
+        xs @ dk, (xs @ qk) * q["scales"][key][None, :],
+        rtol=1e-5, atol=1e-5)
+
+
+def test_int8_classifier_engine_via_loader():
+    """classifier_engine(quantize='int8') serves probabilities close to
+    the fp engine from the same (random) init."""
+    from ecamp_tpu.serve.loaders import classifier_engine
+
+    mesh = make_mesh(cfg.MeshConfig(data=1), devices=jax.devices()[:1])
+    fp = classifier_engine(num_classes=3, img_size=32, vit=TINY,
+                           buckets=(4,), mesh=mesh, bf16=False)
+    q8 = classifier_engine(num_classes=3, img_size=32, vit=TINY,
+                           buckets=(4,), mesh=mesh, bf16=False,
+                           quantize="int8")
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    pf, pq = fp(x), q8(x)
+    assert pf.shape == pq.shape == (4, 3)
+    np.testing.assert_allclose(pq, pf, atol=2e-2)
