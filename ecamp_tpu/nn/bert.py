@@ -237,7 +237,8 @@ class _VocabProjection(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, return_weights: bool = False):
+    def __call__(self, x, return_weights: bool = False,
+                 pad_lanes: bool = False):
         d = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.xavier_uniform(),
                             (d, self.vocab_size), jnp.float32)
@@ -245,6 +246,18 @@ class _VocabProjection(nn.Module):
                           (self.vocab_size,), jnp.float32)
         if return_weights:
             return kernel.astype(self.dtype), bias
+        if pad_lanes:
+            # pad the vocab dim to a multiple of the 128-lane tile:
+            # 30000 % 128 != 0 leaves every MXU tile row ragged in the
+            # three largest matmuls of the step (logits fwd, dL/dx,
+            # dL/dW). Padded bias -1e9 -> exp underflows to exactly 0 in
+            # softmax-CE, so losses on padded logits are bit-correct;
+            # callers slice [..., :V] for any consumer that needs raw
+            # logits (dead code under jit when only the loss is used).
+            pad = (-self.vocab_size) % 128
+            if pad:
+                kernel = jnp.pad(kernel, ((0, 0), (0, pad)))
+                bias = jnp.pad(bias, ((0, pad),), constant_values=-1e9)
         return (x @ kernel.astype(self.dtype)
                 + bias.astype(self.dtype))
 
@@ -262,7 +275,8 @@ class MLMHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, return_features: bool = False):
+    def __call__(self, x, return_features: bool = False,
+                 pad_lanes: bool = False):
         c = self.cfg
         x = Dense(c.hidden_size, dtype=self.dtype, name="transform_dense")(x)
         x = jax.nn.gelu(x, approximate=False)
@@ -273,7 +287,7 @@ class MLMHead(nn.Module):
         if return_features:
             kernel, bias = proj(x, return_weights=True)
             return x, kernel, bias
-        return proj(x)
+        return proj(x, pad_lanes=pad_lanes)
 
 
 class MultimodalBert(nn.Module):
@@ -290,7 +304,8 @@ class MultimodalBert(nn.Module):
     def __call__(self, latent, gap_token, input_ids, attention_mask=None,
                  token_type_ids=None, deterministic: bool = True,
                  return_cross_probs: bool = False,
-                 return_mlm_features: bool = False):
+                 return_mlm_features: bool = False,
+                 pad_vocab_lanes: bool = False):
         c = self.cfg
         text_bias = None
         if attention_mask is not None:
@@ -310,7 +325,8 @@ class MultimodalBert(nn.Module):
             h = layer_cls(c, dtype=self.dtype, name=f"layer_{i}")(
                 h, text_bias, deterministic)
         out = MLMHead(c, dtype=self.dtype, name="cls")(
-            h, return_features=return_mlm_features)
+            h, return_features=return_mlm_features,
+            pad_lanes=pad_vocab_lanes)
         if return_cross_probs:
             return out, cross_probs
         return out

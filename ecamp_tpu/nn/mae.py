@@ -20,6 +20,7 @@ no-grad parameters — equivalent numerics, no optimizer masking needed.
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import flax.linen as nn
@@ -232,6 +233,12 @@ class ECAMP(nn.Module):
         has_loss = "labels" in batch and "weights" in batch
         use_fused = (has_loss and not return_cross_probs
                      and self._fused_ce_available())
+        # lane-pad the 30k vocab projection when it feeds the CE loss:
+        # exact math (padded bias -1e9 -> zero softmax mass), and the
+        # three biggest matmuls of the step tile the MXU without ragged
+        # 128-lane edges. Kill-switch ECAMP_PAD_VOCAB=0.
+        pad_vocab = (has_loss and not use_fused
+                     and os.environ.get("ECAMP_PAD_VOCAB", "1") == "1")
         bert_out = MultimodalBert(self.bert, dtype=self.dtype,
                                   name="bert")(
             patch_latent, gap_token, batch["ids"],
@@ -239,7 +246,8 @@ class ECAMP(nn.Module):
             token_type_ids=batch.get("type_ids"),
             deterministic=deterministic,
             return_cross_probs=return_cross_probs,
-            return_mlm_features=use_fused)
+            return_mlm_features=use_fused,
+            pad_vocab_lanes=pad_vocab)
         if return_cross_probs:
             bert_out, outputs["cross_attention"] = bert_out
         if use_fused:
@@ -253,8 +261,13 @@ class ECAMP(nn.Module):
                 batch["weights"].reshape(-1)) / (n * L)
         else:
             logits = bert_out
-            outputs["mlm_logits"] = logits
+            # raw-logit consumers get the true vocab width; the slice is
+            # dead code under jit when only the loss is read
+            outputs["mlm_logits"] = logits[..., :self.bert.vocab_size]
             if has_loss:
+                # CE on the (possibly lane-padded) logits — exact: the
+                # -1e9 pad bias underflows to zero softmax mass and
+                # labels never index the pad
                 outputs["mlm_loss"] = weighted_mlm_loss(
                     logits, batch["labels"], batch["weights"])
         return outputs

@@ -244,9 +244,13 @@ def test_initialize_distributed_env_bootstrap():
         port = s.getsockname()[1]
     code = (
         "import os\n"
+        # the axon TPU plugin overrides JAX_PLATFORMS at startup (see
+        # conftest.py) and would grab the real chip -> hangs under
+        # contention; pin the config to cpu before any backend query
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "from ecamp_tpu.core.mesh import initialize_distributed\n"
         "initialize_distributed()\n"
-        "import jax\n"
         "assert jax.process_count() == 1, jax.process_count()\n"
         "from jax._src import distributed as dist_mod\n"
         "assert dist_mod.global_state.client is not None, 'not initialized'\n"

@@ -190,6 +190,50 @@ def test_sr_s2d_model_losses_match_direct(monkeypatch):
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_pad_vocab_lanes_loss_and_logits_identical(monkeypatch):
+    """ECAMP_PAD_VOCAB (default on) lane-pads the vocab projection for
+    the CE loss; losses must be bit-comparable to the unpadded path and
+    exposed mlm_logits keep the true vocab width."""
+    from ecamp_tpu.core.config import (BertConfig, MAEDecoderConfig,
+                                       ViTConfig)
+    from ecamp_tpu.nn import ECAMP
+
+    rng = np.random.default_rng(8)
+    model_kw = dict(
+        vit=ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                      num_heads=2),
+        decoder=MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+        bert=BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=64,
+                        max_position_embeddings=8),
+        sr_window=1)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32),
+        "ids": jnp.asarray(rng.integers(0, 64, (2, 8)), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 64, (2, 8)), jnp.int32),
+        "attention_mask": jnp.ones((2, 8), jnp.int32),
+        "type_ids": jnp.zeros((2, 8), jnp.int32),
+        "weights": jnp.ones((2, 8), jnp.float32),
+        "column": jnp.zeros((2,), jnp.int32),
+        "row": jnp.zeros((2,), jnp.int32)}
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("ECAMP_PAD_VOCAB", flag)
+        m = ECAMP(**model_kw)
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "masking": jax.random.PRNGKey(1)}, batch,
+                   mask_ratio=0.75, deterministic=True)
+        out = m.apply(v, batch, mask_ratio=0.75, deterministic=True,
+                      rngs={"masking": jax.random.PRNGKey(2)})
+        assert out["mlm_logits"].shape == (2, 8, 64)  # true width either way
+        outs[flag] = {k: float(out[k])
+                      for k in ("mim_loss", "res_loss", "mlm_loss")}
+    for k in outs["0"]:
+        np.testing.assert_allclose(outs["0"][k], outs["1"][k],
+                                   rtol=1e-6, atol=1e-8)
+
+
 @pytest.mark.parametrize("method", ["bicubic", "bilinear"])
 def test_nchw_resize_matches_nhwc(monkeypatch, method):
     from ecamp_tpu.ops.image_ops import resize_bicubic, resize_bilinear
