@@ -125,6 +125,11 @@ class OptimizerConfig:
     warmup_steps: int = 500
     total_steps: int = 3000
     accum_steps: int = 1
+    # Fused Pallas AdamW update (kernels/fused_adamw.py): same math and
+    # state layout as optax.adamw, one HBM pass per leaf. Applies only to
+    # the plain-adamw path (no clip/freeze/accum/ZeRO-1); env override
+    # ECAMP_FUSED_ADAMW=1/0.
+    fused_adamw: bool = False
 
 
 @dataclass(frozen=True)

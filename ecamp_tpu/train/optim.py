@@ -123,11 +123,21 @@ def scale_by_layerwise_lr(scales) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _fused_adamw_enabled(cfg: OptimizerConfig) -> bool:
+    import os
+
+    env = os.environ.get("ECAMP_FUSED_ADAMW")
+    if env is not None:
+        return env == "1"
+    return cfg.fused_adamw
+
+
 def make_optimizer(cfg: OptimizerConfig, params=None,
                    steps_per_epoch: int = 1,
                    max_epoch: Optional[float] = None,
                    freeze_mask=None,
-                   lr_scales=None) -> optax.GradientTransformation:
+                   lr_scales=None,
+                   allow_fused: bool = True) -> optax.GradientTransformation:
     """Build the optax chain. freeze_mask: pytree of bool, True = trainable
     (linear-probe / frozen-encoder modes; reference freezes via
     requires_grad_(False): Classification/train.py:156-159,
@@ -148,6 +158,17 @@ def make_optimizer(cfg: OptimizerConfig, params=None,
         accum = cfg.accum_steps
         sched = lambda u: inner(u * accum)
     if cfg.name == "adamw":
+        if (allow_fused and _fused_adamw_enabled(cfg)
+                and cfg.grad_clip is None and lr_scales is None
+                and freeze_mask is None and cfg.accum_steps <= 1):
+            # Single fused HBM pass per leaf; identical state layout, so
+            # orbax/torch-moment restore and every (init, update) caller
+            # are unaffected (kernels/fused_adamw.py).
+            from ..kernels.fused_adamw import fused_adamw
+
+            return fused_adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1],
+                               eps=1e-8, weight_decay=cfg.weight_decay,
+                               mask_fn=_decay_mask)
         tx = optax.adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1],
                          weight_decay=cfg.weight_decay,
                          mask=_decay_mask if cfg.weight_decay > 0 else None)

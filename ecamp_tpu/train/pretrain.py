@@ -34,7 +34,10 @@ class PretrainTask:
         self.schedule = make_schedule(cfg.optimizer, steps_per_epoch,
                                       max_epoch=cfg.max_epoch)
         self.tx = make_optimizer(cfg.optimizer, steps_per_epoch=steps_per_epoch,
-                                 max_epoch=cfg.max_epoch)
+                                 max_epoch=cfg.max_epoch,
+                                 # a pallas_call does not partition shard-
+                                 # local under GSPMD; ZeRO-1 keeps optax
+                                 allow_fused=not cfg.mesh.shard_optimizer)
         self._train_step = None
 
     # -- state ---------------------------------------------------------

@@ -26,8 +26,13 @@ class TrainState:
                    opt_state=tx.init(params), batch_stats=batch_stats, tx=tx)
 
     def apply_gradients(self, grads, batch_stats=None):
-        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
-        new_params = optax.apply_updates(self.params, updates)
+        fused = getattr(self.tx, "fused_apply", None)
+        if fused is not None:
+            new_params, new_opt = fused(grads, self.opt_state, self.params)
+        else:
+            updates, new_opt = self.tx.update(grads, self.opt_state,
+                                              self.params)
+            new_params = optax.apply_updates(self.params, updates)
         return self.replace(step=self.step + 1, params=new_params,
                             opt_state=new_opt,
                             batch_stats=(batch_stats if batch_stats is not None
