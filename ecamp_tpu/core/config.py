@@ -126,9 +126,9 @@ class OptimizerConfig:
     total_steps: int = 3000
     accum_steps: int = 1
     # Fused Pallas AdamW update (kernels/fused_adamw.py): same math and
-    # state layout as optax.adamw, one HBM pass per leaf. Applies only to
-    # the plain-adamw path (no clip/freeze/accum/ZeRO-1); env override
-    # ECAMP_FUSED_ADAMW=1/0.
+    # state layout as the optax chain, one HBM pass per leaf; global-norm
+    # clip is fused in as a scalar grad scale. Applies to the adamw path
+    # without freeze/accum/ZeRO-1; env override ECAMP_FUSED_ADAMW=1/0.
     fused_adamw: bool = False
 
 

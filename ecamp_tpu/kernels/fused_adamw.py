@@ -25,6 +25,13 @@ importer (ckpt/torch_import.py) are unaffected, and any code path that
 calls the standard (init, update) API still works — fused_apply is an
 extra method used by TrainState.apply_gradients when present.
 
+Global-norm clipping (the fine-tune default, max_grad_norm=1.0 as in
+Classification/train.py's clip_grad_norm_) is supported by folding the
+clip factor into the same pass: the norm itself is one XLA reduction
+over the grads (identical cost to optax.clip_by_global_norm's), but the
+scaled gradient is never materialized — the scale rides the SMEM
+scalar vector into the kernel.
+
 Opt-in: OptimizerConfig.fused_adamw or ECAMP_FUSED_ADAMW=1. Falls back
 to the plain jnp formula (same math) on CPU and for small leaves.
 """
@@ -58,8 +65,8 @@ class FusedAdamW(NamedTuple):
     fused_apply: Callable[[Any, Any, Any], Any]
 
 
-def _leaf_update_jnp(g, m, v, p, lr, bc1, bc2, b1, b2, eps, wd):
-    g = g.astype(jnp.float32)
+def _leaf_update_jnp(g, m, v, p, lr, bc1, bc2, gdiv, gmul, b1, b2, eps, wd):
+    g = g.astype(jnp.float32) / gdiv * gmul
     m32 = m.astype(jnp.float32)
     v32 = v.astype(jnp.float32)
     p32 = p.astype(jnp.float32)
@@ -75,7 +82,8 @@ def _leaf_update_jnp(g, m, v, p, lr, bc1, bc2, b1, b2, eps, wd):
 def _adamw_kernel(b1, b2, eps, wd, g_ref, m_ref, v_ref, p_ref, s_ref,
                   op_ref, om_ref, ov_ref):
     lr, bc1, bc2 = s_ref[0], s_ref[1], s_ref[2]
-    g = g_ref[:].astype(jnp.float32)
+    gdiv, gmul = s_ref[3], s_ref[4]
+    g = g_ref[:].astype(jnp.float32) / gdiv * gmul
     m = m_ref[:].astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
     p = p_ref[:].astype(jnp.float32)
@@ -90,7 +98,12 @@ def _adamw_kernel(b1, b2, eps, wd, g_ref, m_ref, v_ref, p_ref, s_ref,
 
 
 def _leaf_update_pallas(g, m, v, p, scal, b1, b2, eps, wd):
-    """scal: (3,) fp32 [lr, bc1, bc2] (traced; shared across leaves)."""
+    """scal: (5,) fp32 [lr, bc1, bc2, gdiv, gmul] (traced; shared across
+    leaves). (gdiv, gmul) implement global-norm clipping as
+    (g / gdiv) * gmul — (1, 1) when unclipped, (gnorm, clip) when
+    clipped, the exact op order of optax.clip_by_global_norm — folded
+    into the same VMEM pass so clipping costs no extra HBM traffic
+    beyond the norm reduction itself."""
     n = p.size
     lanes = 128
     n_pad = -(-n // lanes) * lanes
@@ -131,25 +144,47 @@ def _leaf_update_pallas(g, m, v, p, scal, b1, b2, eps, wd):
 
 def fused_adamw(sched, b1: float, b2: float, eps: float,
                 weight_decay: float, mask_fn: Optional[Callable] = None,
+                grad_clip: Optional[float] = None,
                 use_pallas: Optional[bool] = None) -> FusedAdamW:
     """Drop-in optax.adamw with an extra fused_apply(grads, opt_state,
-    params) -> (new_params, new_opt_state) used by TrainState."""
-    base = optax.adamw(sched, b1=b1, b2=b2, eps=eps,
+    params) -> (new_params, new_opt_state) used by TrainState.
+
+    grad_clip: optional global-norm clip, fused as a scalar grad scale
+    inside the same kernel pass (state layout = optax.chain(
+    clip_by_global_norm, adamw), matching make_optimizer's chain)."""
+    adam = optax.adamw(sched, b1=b1, b2=b2, eps=eps,
                        weight_decay=weight_decay,
                        mask=mask_fn if weight_decay > 0 else None)
+    if grad_clip is not None:
+        base = optax.chain(optax.clip_by_global_norm(grad_clip), adam)
+    else:
+        base = adam
 
     def fused_apply(grads, opt_state, params):
         pallas_ok = use_pallas
         if pallas_ok is None:
             pallas_ok = jax.default_backend() == "tpu" and pltpu is not None
-        adam_state = opt_state[0]
-        sched_state = opt_state[-1]
+        inner = opt_state[1] if grad_clip is not None else opt_state
+        adam_state = inner[0]
+        sched_state = inner[-1]
         count_inc = optax.safe_int32_increment(adam_state.count)
         cf = count_inc.astype(jnp.float32)
         bc1 = 1.0 - jnp.asarray(b1, jnp.float32) ** cf
         bc2 = 1.0 - jnp.asarray(b2, jnp.float32) ** cf
         lr = jnp.asarray(sched(sched_state.count), jnp.float32)
-        scal = jnp.stack([lr, bc1, bc2])
+        if grad_clip is not None:
+            # optax.clip_by_global_norm semantics, bit-for-bit: when the
+            # norm exceeds the bound apply (g / gnorm) * clip in that op
+            # order (NaN norms propagate, as there).
+            gnorm = optax.global_norm(grads)
+            trigger = gnorm < grad_clip
+            gdiv = jnp.where(trigger, 1.0, gnorm)
+            gmul = jnp.where(trigger, 1.0, grad_clip)
+        else:
+            gdiv = gmul = jnp.float32(1.0)
+        scal = jnp.stack([lr, bc1, bc2,
+                          jnp.asarray(gdiv, jnp.float32),
+                          jnp.asarray(gmul, jnp.float32)])
         if weight_decay > 0 and mask_fn is not None:
             mask = mask_fn(params)
         else:
@@ -159,7 +194,8 @@ def fused_adamw(sched, b1: float, b2: float, eps: float,
             wd = weight_decay if decay else 0.0
             if pallas_ok and p.size >= _MIN_PALLAS_ELEMS:
                 return _leaf_update_pallas(g, m, v, p, scal, b1, b2, eps, wd)
-            return _leaf_update_jnp(g, m, v, p, lr, bc1, bc2, b1, b2, eps, wd)
+            return _leaf_update_jnp(g, m, v, p, lr, bc1, bc2, gdiv, gmul,
+                                    b1, b2, eps, wd)
 
         triples = jax.tree_util.tree_map(leaf, grads, adam_state.mu,
                                          adam_state.nu, params, mask)
@@ -169,13 +205,15 @@ def fused_adamw(sched, b1: float, b2: float, eps: float,
                                         is_leaf=lambda x: isinstance(x, tuple))
         new_nu = jax.tree_util.tree_map(lambda t: t[2], triples,
                                         is_leaf=lambda x: isinstance(x, tuple))
-        new_opt_state = (
+        new_inner = (
             adam_state._replace(count=count_inc, mu=new_mu, nu=new_nu),
-            *opt_state[1:-1],
+            *inner[1:-1],
             sched_state._replace(
                 count=optax.safe_int32_increment(sched_state.count)),
         )
-        return new_params, new_opt_state
+        if grad_clip is not None:
+            return new_params, (opt_state[0], new_inner)
+        return new_params, new_inner
 
     return FusedAdamW(init=base.init, update=base.update,
                       fused_apply=fused_apply)

@@ -159,16 +159,18 @@ def make_optimizer(cfg: OptimizerConfig, params=None,
         sched = lambda u: inner(u * accum)
     if cfg.name == "adamw":
         if (allow_fused and _fused_adamw_enabled(cfg)
-                and cfg.grad_clip is None and lr_scales is None
+                and lr_scales is None
                 and freeze_mask is None and cfg.accum_steps <= 1):
-            # Single fused HBM pass per leaf; identical state layout, so
-            # orbax/torch-moment restore and every (init, update) caller
-            # are unaffected (kernels/fused_adamw.py).
+            # Single fused HBM pass per leaf; identical state layout
+            # (incl. the clip_by_global_norm chain element when grad_clip
+            # is set), so orbax/torch-moment restore and every
+            # (init, update) caller are unaffected (kernels/fused_adamw.py).
             from ..kernels.fused_adamw import fused_adamw
 
             return fused_adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1],
                                eps=1e-8, weight_decay=cfg.weight_decay,
-                               mask_fn=_decay_mask)
+                               mask_fn=_decay_mask,
+                               grad_clip=cfg.grad_clip or None)
         tx = optax.adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1],
                          weight_decay=cfg.weight_decay,
                          mask=_decay_mask if cfg.weight_decay > 0 else None)

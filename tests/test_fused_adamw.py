@@ -72,6 +72,45 @@ def test_fused_apply_matches_optax_over_steps():
             np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-7)
 
 
+def test_fused_apply_with_clip_matches_optax_chain():
+    """grad_clip path: state layout and numerics must match
+    optax.chain(clip_by_global_norm, adamw) — the make_optimizer chain
+    for the fine-tune default (max_grad_norm=1.0). Uses one step with a
+    norm above the bound (clip active) and one below (identity)."""
+    params = _tree(jax.random.PRNGKey(2))
+    clip = 1.0
+    ref_tx = optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adamw(_sched, b1=B1, b2=B2, eps=EPS, weight_decay=WD,
+                    mask=_decay_mask))
+    fus_tx = fused_adamw(_sched, B1, B2, EPS, WD, _decay_mask,
+                         grad_clip=clip, use_pallas=False)
+
+    ref_state = ref_tx.init(params)
+    fus_state = fus_tx.init(params)
+    assert (jax.tree_util.tree_structure(ref_state)
+            == jax.tree_util.tree_structure(fus_state))
+
+    ref_p, fus_p = params, params
+    for step, scale in enumerate((3.0, 1e-4, 2.5)):  # clipped, not, clipped
+        g = jax.tree_util.tree_map(
+            lambda p: scale * jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(11), step), p.shape),
+            ref_p)
+        gnorm = optax.global_norm(g)
+        assert (float(gnorm) > clip) == (scale > 1.0)
+        upd, ref_state = ref_tx.update(g, ref_state, ref_p)
+        ref_p = optax.apply_updates(ref_p, upd)
+        fus_p, fus_state = fus_tx.fused_apply(g, fus_state, fus_p)
+
+        for a, b in zip(jax.tree_util.tree_leaves(ref_p),
+                        jax.tree_util.tree_leaves(fus_p)):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(ref_state),
+                        jax.tree_util.tree_leaves(fus_state)):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7)
+
+
 @pytest.mark.skipif(pltpu is None, reason="pallas tpu backend unavailable")
 def test_pallas_leaf_matches_jnp_reference():
     key = jax.random.PRNGKey(1)
@@ -83,11 +122,13 @@ def test_pallas_leaf_matches_jnp_reference():
     v = jnp.abs(jax.random.normal(ks[2], shape)) * 0.01
     p = jax.random.normal(ks[3], shape)
     lr, bc1, bc2 = 1e-3, 1.0 - B1 ** 3, 1.0 - B2 ** 3
-    scal = jnp.asarray([lr, bc1, bc2], jnp.float32)
+    gdiv, gmul = 2.7, 1.0  # clip active: (g / gnorm) * max_norm
+    scal = jnp.asarray([lr, bc1, bc2, gdiv, gmul], jnp.float32)
 
     with pltpu.force_tpu_interpret_mode():
         p_k, m_k, v_k = _leaf_update_pallas(g, m, v, p, scal, B1, B2, EPS, WD)
 
+    g = g / gdiv * gmul
     m_ref = (1 - B1) * g + B1 * m
     v_ref = (1 - B2) * g * g + B2 * v
     u = (m_ref / bc1) / (jnp.sqrt(v_ref / bc2) + EPS) + WD * p
@@ -98,6 +139,52 @@ def test_pallas_leaf_matches_jnp_reference():
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_finetune_cls_step_fused_matches_default(monkeypatch):
+    """The fine-tune path (adamw + global-norm clip 1.0): jitted cls
+    train steps with ECAMP_FUSED_ADAMW=1 match the optax chain."""
+    from ecamp_tpu.core import config as cfg
+    from ecamp_tpu.core.mesh import make_mesh
+    from ecamp_tpu.train.classification import ClassificationTask
+
+    c = cfg.ClassificationConfig(
+        vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=64,
+                          depth=2, num_heads=2),
+        num_classes=3, is_multilabel=True, bf16=False,
+        optimizer=cfg.OptimizerConfig(name="adamw", lr=3e-2,
+                                      weight_decay=0.05, grad_clip=1.0,
+                                      schedule="warmup_cosine_step",
+                                      warmup_steps=2, total_steps=50),
+        mesh=cfg.MeshConfig(data=1))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, (4, 3)), jnp.float32)
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("ECAMP_FUSED_ADAMW", flag)
+        task = ClassificationTask(c, mesh=make_mesh(c.mesh,
+                                                    devices=jax.devices()[:1]))
+        state = task.init_state(jax.random.PRNGKey(0))
+        if flag == "1":
+            assert hasattr(task.tx, "fused_apply")
+        losses = []
+        for _ in range(3):
+            state, m = task.train_step(state, x, y)
+            losses.append(float(m["loss"]))
+        outs[flag] = (losses, jax.device_get(state.params))
+    np.testing.assert_allclose(outs["0"][0], outs["1"][0],
+                               rtol=1e-4, atol=1e-6)
+    # Wiring check only — the two flags compile DIFFERENT programs, XLA
+    # fuses the backward differently, and Adam amplifies last-ulp grad
+    # noise (u ~ sign(g) where |g| is small), so 3-step trajectories of
+    # the two programs agree only loosely (measured max ~1e-4; both are
+    # bitwise-deterministic run-to-run). Update semantics incl. the clip
+    # are checked tightly in test_fused_apply_with_clip_matches_optax_chain.
+    for a, b in zip(jax.tree_util.tree_leaves(outs["0"][1]),
+                    jax.tree_util.tree_leaves(outs["1"][1])):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-3)
 
 
 def test_pretrain_step_fused_matches_default(monkeypatch):
