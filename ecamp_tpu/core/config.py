@@ -127,8 +127,9 @@ class OptimizerConfig:
     accum_steps: int = 1
     # Fused Pallas AdamW update (kernels/fused_adamw.py): same math and
     # state layout as the optax chain, one HBM pass per leaf; global-norm
-    # clip is fused in as a scalar grad scale. Applies to the adamw path
-    # without freeze/accum/ZeRO-1; env override ECAMP_FUSED_ADAMW=1/0.
+    # clip is fused in as a scalar grad scale; under ZeRO-1 it runs
+    # shard-local inside a shard_map region. Applies to the adamw path
+    # without freeze/accum/TP; env override ECAMP_FUSED_ADAMW=1/0.
     fused_adamw: bool = False
 
 

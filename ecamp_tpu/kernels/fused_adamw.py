@@ -142,29 +142,104 @@ def _leaf_update_pallas(g, m, v, p, scal, b1, b2, eps, wd):
     return p_new, m_new, v_new
 
 
+def _zero1_update(mesh, grads, mu, nu, params, scal, mask, weight_decay,
+                  b1, b2, eps, pallas_ok):
+    """One fused AdamW update with moments ZeRO-1-sharded over the data
+    axis, as a shard_map region (see fused_adamw docstring). Slicing and
+    gathering follow core/mesh.py::zero1_spec exactly so the in/out
+    layouts match shard_opt_state_zero1's placement."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..core.mesh import zero1_spec
+
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+
+    def sharded_dim(shape):
+        spec = zero1_spec(shape, axis, n)
+        return len(spec) - 1 if len(spec) else -1
+
+    dims = jax.tree_util.tree_map(lambda p: sharded_dim(p.shape), params)
+    mom_specs = jax.tree_util.tree_map(
+        lambda p: zero1_spec(p.shape, axis, n), params)
+    rep_specs = jax.tree_util.tree_map(lambda _: P(), params)
+    is_tup = lambda x: isinstance(x, tuple)
+
+    def region(g_tree, mu_tree, nu_tree, p_tree, scal_arr):
+        idx = jax.lax.axis_index(axis)
+
+        def leaf(g, m, v, p, decay, d):
+            wd = weight_decay if decay else 0.0
+            if d >= 0:
+                size = p.shape[d] // n
+                g = jax.lax.dynamic_slice_in_dim(g, idx * size, size, d)
+                p_l = jax.lax.dynamic_slice_in_dim(p, idx * size, size, d)
+            else:
+                p_l = p
+            if pallas_ok and p_l.size >= _MIN_PALLAS_ELEMS:
+                p_new, m_new, v_new = _leaf_update_pallas(
+                    g, m, v, p_l, scal_arr, b1, b2, eps, wd)
+            else:
+                p_new, m_new, v_new = _leaf_update_jnp(
+                    g, m, v, p_l, scal_arr[0], scal_arr[1], scal_arr[2],
+                    scal_arr[3], scal_arr[4], b1, b2, eps, wd)
+            if d >= 0:
+                p_new = jax.lax.all_gather(p_new, axis, axis=d, tiled=True)
+            return p_new, m_new, v_new
+
+        triples = jax.tree_util.tree_map(leaf, g_tree, mu_tree, nu_tree,
+                                         p_tree, mask, dims)
+        return (jax.tree_util.tree_map(lambda t: t[0], triples, is_leaf=is_tup),
+                jax.tree_util.tree_map(lambda t: t[1], triples, is_leaf=is_tup),
+                jax.tree_util.tree_map(lambda t: t[2], triples, is_leaf=is_tup))
+
+    return jax.shard_map(
+        region, mesh=mesh,
+        in_specs=(rep_specs, mom_specs, mom_specs, rep_specs, P()),
+        out_specs=(rep_specs, mom_specs, mom_specs),
+        check_vma=False)(grads, mu, nu, params, scal)
+
+
 def fused_adamw(sched, b1: float, b2: float, eps: float,
                 weight_decay: float, mask_fn: Optional[Callable] = None,
                 grad_clip: Optional[float] = None,
-                use_pallas: Optional[bool] = None) -> FusedAdamW:
+                use_pallas: Optional[bool] = None,
+                zero1_mesh=None) -> FusedAdamW:
     """Drop-in optax.adamw with an extra fused_apply(grads, opt_state,
     params) -> (new_params, new_opt_state) used by TrainState.
 
     grad_clip: optional global-norm clip, fused as a scalar grad scale
     inside the same kernel pass (state layout = optax.chain(
-    clip_by_global_norm, adamw), matching make_optimizer's chain)."""
+    clip_by_global_norm, adamw), matching make_optimizer's chain).
+
+    zero1_mesh: when the optimizer state is ZeRO-1-sharded over the
+    mesh's data axis (core/mesh.py::shard_opt_state_zero1), a bare
+    pallas_call cannot be partitioned by GSPMD. Passing the mesh makes
+    fused_apply run the update inside a jax.shard_map region instead:
+    each device updates only its moment shard (slicing the replicated
+    grads/params at its axis index), then all-gathers the param slices
+    back to replicated — the same compute/communication schedule GSPMD
+    derives for the optax path, with the kernel running shard-local.
+    In/out layouts are unchanged (params replicated, moments sharded by
+    zero1_spec), so place_state and the step's output sharding
+    constraints are unaffected."""
     adam = optax.adamw(sched, b1=b1, b2=b2, eps=eps,
                        weight_decay=weight_decay,
                        mask=mask_fn if weight_decay > 0 else None)
+    # Chain-wrap even without a clip: make_optimizer's non-fused path is
+    # always `optax.chain(*pre, tx, *post)`, which wraps the adamw state
+    # tuple in an outer 1-tuple — matching it keeps orbax checkpoints
+    # restorable across the ECAMP_FUSED_ADAMW=0/1 boundary both ways.
     if grad_clip is not None:
         base = optax.chain(optax.clip_by_global_norm(grad_clip), adam)
     else:
-        base = adam
+        base = optax.chain(adam)
 
     def fused_apply(grads, opt_state, params):
         pallas_ok = use_pallas
         if pallas_ok is None:
             pallas_ok = jax.default_backend() == "tpu" and pltpu is not None
-        inner = opt_state[1] if grad_clip is not None else opt_state
+        inner = opt_state[-1]  # the adamw tuple inside the chain wrap
         adam_state = inner[0]
         sched_state = inner[-1]
         count_inc = optax.safe_int32_increment(adam_state.count)
@@ -190,30 +265,35 @@ def fused_adamw(sched, b1: float, b2: float, eps: float,
         else:
             mask = jax.tree_util.tree_map(lambda _: weight_decay > 0, params)
 
-        def leaf(g, m, v, p, decay):
-            wd = weight_decay if decay else 0.0
-            if pallas_ok and p.size >= _MIN_PALLAS_ELEMS:
-                return _leaf_update_pallas(g, m, v, p, scal, b1, b2, eps, wd)
-            return _leaf_update_jnp(g, m, v, p, lr, bc1, bc2, gdiv, gmul,
-                                    b1, b2, eps, wd)
+        if zero1_mesh is not None:
+            new_params, new_mu, new_nu = _zero1_update(
+                zero1_mesh, grads, adam_state.mu, adam_state.nu, params,
+                scal, mask, weight_decay, b1, b2, eps, pallas_ok)
+        else:
+            def leaf(g, m, v, p, decay):
+                wd = weight_decay if decay else 0.0
+                if pallas_ok and p.size >= _MIN_PALLAS_ELEMS:
+                    return _leaf_update_pallas(g, m, v, p, scal,
+                                               b1, b2, eps, wd)
+                return _leaf_update_jnp(g, m, v, p, lr, bc1, bc2, gdiv, gmul,
+                                        b1, b2, eps, wd)
 
-        triples = jax.tree_util.tree_map(leaf, grads, adam_state.mu,
-                                         adam_state.nu, params, mask)
-        new_params = jax.tree_util.tree_map(lambda t: t[0], triples,
-                                            is_leaf=lambda x: isinstance(x, tuple))
-        new_mu = jax.tree_util.tree_map(lambda t: t[1], triples,
-                                        is_leaf=lambda x: isinstance(x, tuple))
-        new_nu = jax.tree_util.tree_map(lambda t: t[2], triples,
-                                        is_leaf=lambda x: isinstance(x, tuple))
+            is_tup = lambda x: isinstance(x, tuple)
+            triples = jax.tree_util.tree_map(leaf, grads, adam_state.mu,
+                                             adam_state.nu, params, mask)
+            new_params = jax.tree_util.tree_map(lambda t: t[0], triples,
+                                                is_leaf=is_tup)
+            new_mu = jax.tree_util.tree_map(lambda t: t[1], triples,
+                                            is_leaf=is_tup)
+            new_nu = jax.tree_util.tree_map(lambda t: t[2], triples,
+                                            is_leaf=is_tup)
         new_inner = (
             adam_state._replace(count=count_inc, mu=new_mu, nu=new_nu),
             *inner[1:-1],
             sched_state._replace(
                 count=optax.safe_int32_increment(sched_state.count)),
         )
-        if grad_clip is not None:
-            return new_params, (opt_state[0], new_inner)
-        return new_params, new_inner
+        return new_params, (*opt_state[:-1], new_inner)
 
     return FusedAdamW(init=base.init, update=base.update,
                       fused_apply=fused_apply)

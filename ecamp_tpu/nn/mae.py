@@ -135,8 +135,6 @@ class ECAMP(nn.Module):
                  deterministic: bool = False,
                  return_cross_probs: bool = False,
                  features_only: bool = False):
-        import os
-
         c = self.vit
         # ECAMP_SR_NCHW_PATH=1: keep every 448^2 tensor channels-first —
         # ONE NHWC->NCHW transpose of the input, then the bicubic resize,

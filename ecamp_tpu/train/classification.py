@@ -52,7 +52,10 @@ class ClassificationTask:
                     getattr(k, "key", None) == "head" for k in path),
                 variables["params"])
             freeze_mask = flat
-        self.tx = make_optimizer(c.optimizer, freeze_mask=freeze_mask)
+        self.tx = make_optimizer(
+            c.optimizer, freeze_mask=freeze_mask,
+            # pallas_call does not partition TP-sharded leaves under GSPMD
+            allow_fused=self.mesh.shape[self.mesh.axis_names[1]] == 1)
         state = TrainState.create(variables["params"], self.tx)
         return place_finetune_state(self.mesh, state)
 

@@ -68,7 +68,10 @@ class DetectionTask:
                                               backbone=c.backbone)
         mask = _det_freeze_mask(variables["params"], c.freeze_encoder,
                                 c.backbone)
-        self.tx = make_optimizer(c.optimizer, freeze_mask=mask)
+        self.tx = make_optimizer(
+            c.optimizer, freeze_mask=mask,
+            # pallas_call does not partition TP-sharded leaves under GSPMD
+            allow_fused=self.mesh.shape[self.mesh.axis_names[1]] == 1)
         state = TrainState.create(variables["params"], self.tx,
                                   batch_stats=variables.get("batch_stats"))
         return place_finetune_state(self.mesh, state)

@@ -128,7 +128,12 @@ def _fused_adamw_enabled(cfg: OptimizerConfig) -> bool:
 
     env = os.environ.get("ECAMP_FUSED_ADAMW")
     if env is not None:
-        return env == "1"
+        val = env.strip().lower()
+        if val in ("1", "true", "yes", "on"):
+            return True
+        if val in ("0", "false", "no", "off", ""):
+            return False
+        raise ValueError(f"ECAMP_FUSED_ADAMW={env!r}: expected 0/1")
     return cfg.fused_adamw
 
 
@@ -137,7 +142,8 @@ def make_optimizer(cfg: OptimizerConfig, params=None,
                    max_epoch: Optional[float] = None,
                    freeze_mask=None,
                    lr_scales=None,
-                   allow_fused: bool = True) -> optax.GradientTransformation:
+                   allow_fused: bool = True,
+                   zero1_mesh=None) -> optax.GradientTransformation:
     """Build the optax chain. freeze_mask: pytree of bool, True = trainable
     (linear-probe / frozen-encoder modes; reference freezes via
     requires_grad_(False): Classification/train.py:156-159,
@@ -170,7 +176,8 @@ def make_optimizer(cfg: OptimizerConfig, params=None,
             return fused_adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1],
                                eps=1e-8, weight_decay=cfg.weight_decay,
                                mask_fn=_decay_mask,
-                               grad_clip=cfg.grad_clip or None)
+                               grad_clip=cfg.grad_clip or None,
+                               zero1_mesh=zero1_mesh)
         tx = optax.adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1],
                          weight_decay=cfg.weight_decay,
                          mask=_decay_mask if cfg.weight_decay > 0 else None)

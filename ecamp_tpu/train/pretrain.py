@@ -33,11 +33,15 @@ class PretrainTask:
                            dtype=pol.compute_dtype)
         self.schedule = make_schedule(cfg.optimizer, steps_per_epoch,
                                       max_epoch=cfg.max_epoch)
-        self.tx = make_optimizer(cfg.optimizer, steps_per_epoch=steps_per_epoch,
-                                 max_epoch=cfg.max_epoch,
-                                 # a pallas_call does not partition shard-
-                                 # local under GSPMD; ZeRO-1 keeps optax
-                                 allow_fused=not cfg.mesh.shard_optimizer)
+        self.tx = make_optimizer(
+            cfg.optimizer, steps_per_epoch=steps_per_epoch,
+            max_epoch=cfg.max_epoch,
+            # a pallas_call does not partition shard-local under GSPMD:
+            # under TP (sharded params) keep optax; under ZeRO-1 the fused
+            # update instead runs inside a shard_map region that mirrors
+            # shard_opt_state_zero1's layout (kernels/fused_adamw.py)
+            allow_fused=self.mesh.shape[self.mesh.axis_names[1]] == 1,
+            zero1_mesh=(self.mesh if cfg.mesh.shard_optimizer else None))
         self._train_step = None
 
     # -- state ---------------------------------------------------------

@@ -86,7 +86,10 @@ class SegmentationTask:
         # reference's smp path, Segmentation/train.py:139-180)
         mask = (None if self.resnet
                 else _seg_freeze_mask(variables["params"], c.freeze_encoder))
-        self.tx = make_optimizer(c.optimizer, freeze_mask=mask)
+        self.tx = make_optimizer(
+            c.optimizer, freeze_mask=mask,
+            # pallas_call does not partition TP-sharded leaves under GSPMD
+            allow_fused=self.mesh.shape[self.mesh.axis_names[1]] == 1)
         state = TrainState.create(variables["params"], self.tx,
                                   batch_stats=variables.get("batch_stats"))
         return place_finetune_state(self.mesh, state)

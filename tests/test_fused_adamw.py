@@ -44,8 +44,9 @@ def _tree(key):
 
 def test_fused_apply_matches_optax_over_steps():
     params = _tree(jax.random.PRNGKey(0))
-    ref_tx = optax.adamw(_sched, b1=B1, b2=B2, eps=EPS, weight_decay=WD,
-                         mask=_decay_mask)
+    # chain-wrapped like make_optimizer's `optax.chain(*pre, tx, *post)`
+    ref_tx = optax.chain(optax.adamw(_sched, b1=B1, b2=B2, eps=EPS,
+                                     weight_decay=WD, mask=_decay_mask))
     fus_tx = fused_adamw(_sched, B1, B2, EPS, WD, _decay_mask,
                          use_pallas=False)
 
@@ -70,6 +71,29 @@ def test_fused_apply_matches_optax_over_steps():
         for a, b in zip(jax.tree_util.tree_leaves(ref_state),
                         jax.tree_util.tree_leaves(fus_state)):
             np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("grad_clip", [None, 1.0])
+def test_state_layout_matches_make_optimizer_across_flag(monkeypatch,
+                                                         grad_clip):
+    """Orbax restore across the ECAMP_FUSED_ADAMW=0/1 boundary requires
+    the fused and non-fused make_optimizer states to be the SAME pytree
+    structure, with and without grad_clip."""
+    from ecamp_tpu.core.config import OptimizerConfig
+    from ecamp_tpu.train.optim import make_optimizer
+
+    params = _tree(jax.random.PRNGKey(4))
+    cfg = OptimizerConfig(name="adamw", lr=1e-3, weight_decay=WD,
+                          grad_clip=grad_clip, schedule="constant")
+    states = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("ECAMP_FUSED_ADAMW", flag)
+        tx = make_optimizer(cfg)
+        if flag == "1":
+            assert hasattr(tx, "fused_apply")
+        states[flag] = tx.init(params)
+    assert (jax.tree_util.tree_structure(states["0"])
+            == jax.tree_util.tree_structure(states["1"]))
 
 
 def test_fused_apply_with_clip_matches_optax_chain():

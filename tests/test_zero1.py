@@ -81,6 +81,125 @@ def test_zero1_pretrain_step_matches_replicated():
 
 
 @pytest.mark.slow
+def test_zero1_fused_update_matches_optax_fixed_grads():
+    """The shard_map ZeRO-1 fused update (kernels/fused_adamw.py::
+    _zero1_update) vs the optax chain on the same FIXED grads (no
+    model feedback, so the comparison is exact): 3 steps, moments
+    ZeRO-1-placed over the 8-device mesh, params replicated."""
+    import optax
+
+    from ecamp_tpu.core.mesh import (cpu_test_mesh, replicate,
+                                     shard_opt_state_zero1)
+    from ecamp_tpu.kernels.fused_adamw import fused_adamw
+    from ecamp_tpu.train.optim import _decay_mask
+
+    mesh = cpu_test_mesh(8)
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 4)
+    params = {
+        "tok": jax.random.normal(ks[0], (1, 1, 32)),     # last-dim shard
+        "dense": {"kernel": jax.random.normal(ks[1], (48, 16)),
+                  "bias": jax.random.normal(ks[2], (16,))},
+        "odd": jax.random.normal(ks[3], (5, 3)),          # replicated
+    }
+    sched = lambda u: 1e-3 * (1.0 + 0.5 * jax.numpy.asarray(u, "float32"))
+    ref_tx = optax.chain(optax.adamw(sched, b1=0.9, b2=0.95, eps=1e-8,
+                                     weight_decay=0.05, mask=_decay_mask))
+    fus_tx = fused_adamw(sched, 0.9, 0.95, 1e-8, 0.05, _decay_mask,
+                         zero1_mesh=mesh, use_pallas=False)
+
+    ref_p = fus_p = replicate(mesh, params)
+    ref_s = shard_opt_state_zero1(mesh, replicate(mesh, ref_tx.init(params)))
+    fus_s = shard_opt_state_zero1(mesh, replicate(mesh, fus_tx.init(params)))
+    assert (jax.tree_util.tree_structure(ref_s)
+            == jax.tree_util.tree_structure(fus_s))
+
+    @jax.jit
+    def ref_step(g, s, p):
+        upd, s = ref_tx.update(g, s, p)
+        return optax.apply_updates(p, upd), s
+
+    fus_step = jax.jit(fus_tx.fused_apply)
+    for step in range(3):
+        g = jax.tree_util.tree_map(
+            lambda p: jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(9), step), p.shape),
+            params)
+        g = replicate(mesh, g)
+        ref_p, ref_s = ref_step(g, ref_s, ref_p)
+        fus_p, fus_s = fus_step(g, fus_s, fus_p)
+        for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(ref_p)),
+                        jax.tree_util.tree_leaves(jax.device_get(fus_p))):
+            np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(ref_s)),
+                        jax.tree_util.tree_leaves(jax.device_get(fus_s))):
+            np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-7)
+    # moments still ZeRO-1-sharded after the fused updates
+    mu = [x for x in jax.tree_util.tree_leaves(fus_s)
+          if getattr(x, "ndim", 0) >= 1]
+    assert any("data" in str(x.sharding.spec) for x in mu)
+
+
+@pytest.mark.slow
+def test_zero1_fused_adamw_matches_optax(monkeypatch):
+    """ECAMP_FUSED_ADAMW=1 under dp=8 + ZeRO-1 runs the update inside a
+    shard_map region (kernels/fused_adamw.py::_zero1_update): e2e wiring
+    check — losses must match the optax ZeRO-1 path and the moment
+    layout must stay ZeRO-1-sharded. (Params compared loosely: the two
+    flags are different compiled programs, and Adam amplifies last-ulp
+    backward noise on near-zero-grad leaves; exact update equality is
+    covered by test_zero1_fused_update_matches_optax_fixed_grads.)"""
+    from ecamp_tpu.train.pretrain import PretrainTask
+
+    def build():
+        tiny = cfg.PretrainConfig(
+            vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                              depth=2, num_heads=2),
+            decoder=cfg.MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+            bert=cfg.BertConfig(vocab_size=64, hidden_size=32,
+                                num_hidden_layers=2, num_attention_heads=2,
+                                intermediate_size=64,
+                                max_position_embeddings=8),
+            optimizer=cfg.OptimizerConfig(schedule="constant", lr=1e-3),
+            data=cfg.DataConfig(img_size=64),
+            mesh=cfg.MeshConfig(data=8, shard_optimizer=True),
+            sr_window=1, max_caption_length=8, bf16=False)
+        task = PretrainTask(tiny, mesh=make_mesh(tiny.mesh))
+        return task, task.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(5)
+    batch = {
+        "image": rng.normal(size=(8, 64, 64, 3)).astype(np.float32),
+        "ids": rng.integers(0, 64, (8, 8)).astype(np.int32),
+        "labels": rng.integers(0, 64, (8, 8)).astype(np.int32),
+        "attention_mask": np.ones((8, 8), np.int32),
+        "type_ids": np.zeros((8, 8), np.int32),
+        "weights": np.ones((8, 8), np.float32),
+        "column": np.zeros((8,), np.int32),
+        "row": np.zeros((8,), np.int32)}
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("ECAMP_FUSED_ADAMW", flag)
+        task, state = build()
+        if flag == "1":
+            assert hasattr(task.tx, "fused_apply")
+        sharded = task.shard_batch(batch)
+        losses = []
+        for _ in range(2):
+            state, m = task.train_step(state, sharded, jax.random.PRNGKey(7))
+            losses.append(float(m["loss"]))
+        mu = [x for x in jax.tree_util.tree_leaves(state.opt_state)
+              if getattr(x, "ndim", 0) >= 1]
+        assert any("data" in str(x.sharding.spec) for x in mu)
+        outs[flag] = (losses, np.asarray(state.params["cls_token"]),
+                      jax.device_get(state.params))
+    np.testing.assert_allclose(outs["0"][0], outs["1"][0], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["0"][2]),
+                    jax.tree_util.tree_leaves(outs["1"][2])):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-3)
+
+
+@pytest.mark.slow
 def test_zero1_scan_step_matches_sequential():
     """make_train_step_scan under dp=8 + ZeRO-1: the per-iteration
     output-sharding constraint must hold inside lax.scan, and numerics
