@@ -39,6 +39,32 @@ WARMUP = 3
 STEPS = 10
 
 
+def _require_devices(timeout_s: float = 600.0):
+    """The remote-TPU tunnel in this environment occasionally goes down,
+    and jax.devices() then blocks indefinitely. Probe device enumeration
+    with a deadline so a dead tunnel yields a diagnosable failure instead
+    of a silent multi-hour hang (no fake 0-value metric is emitted)."""
+    import threading
+
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # pragma: no cover - backend-dependent
+            out["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in out:
+        return out["devices"]
+    print(out.get("error",
+                  f"bench.py: device enumeration did not complete within "
+                  f"{timeout_s:.0f}s — TPU tunnel down?"), file=sys.stderr)
+    os._exit(1)  # the probe thread may be stuck in C++; skip atexit
+
+
 def make_task():
     from ecamp_tpu.core import config as cfg
     from ecamp_tpu.core.mesh import enable_compilation_cache
@@ -257,6 +283,7 @@ def bench_real_data(src_side: int = 1024, n_images: int = 256):
 
 
 if __name__ == "__main__":
+    _require_devices()
     if "--real-data" in sys.argv:
         side = 3056 if "--full-res" in sys.argv else 1024
         bench_real_data(src_side=side)
