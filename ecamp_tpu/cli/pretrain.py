@@ -63,6 +63,11 @@ def get_args():
                    help="ZeRO-1: shard AdamW moments (and accumulation "
                         "buffers) over the data mesh axis instead of "
                         "replicating them (~1.5 GB/N HBM saved per chip)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="FSDP/ZeRO-3: additionally shard the params over "
+                        "the data mesh axis; GSPMD all-gathers weights at "
+                        "their use sites and reduce-scatters grads — "
+                        "per-chip params+grads+moments memory becomes 1/N")
     return p.parse_args()
 
 
@@ -99,7 +104,8 @@ def main():
             accum_steps=args.accum_iter),
         data=cfg.DataConfig(img_size=args.input_size,
                             batch_size=args.batch_size),
-        mesh=cfg.MeshConfig(shard_optimizer=args.shard_optimizer),
+        mesh=cfg.MeshConfig(shard_optimizer=args.shard_optimizer,
+                            shard_params=args.fsdp),
         mask_ratio=args.mask_ratio, epochs=args.epochs,
         max_epoch=args.max_epoch, bf16=not args.no_bf16, seed=args.seed,
         max_caption_length=args.max_caption_length)

@@ -147,6 +147,13 @@ class MeshConfig:
     # item; saves ~2 x params x 4B / N HBM per chip, XLA inserts the
     # update all-gather.
     shard_optimizer: bool = False
+    # FSDP / ZeRO-3: additionally shard the PARAMS over the data axis
+    # (zero1_spec layout). GSPMD then all-gathers each weight at its use
+    # sites in forward/backward and reduce-scatters its gradient, so every
+    # per-chip copy of params+grads+moments is 1/N — the memory story for
+    # models that do not fit replicated. Implies sharded optimizer state
+    # (moments inherit the param layout through tx.init).
+    shard_params: bool = False
 
 
 @dataclass(frozen=True)

@@ -274,6 +274,17 @@ def shard_opt_state_zero1(mesh: Mesh, opt_state):
     return jax.tree_util.tree_map(put, opt_state)
 
 
+def shard_params_fsdp(mesh: Mesh, params):
+    """FSDP / ZeRO-3 parameter placement (MeshConfig.shard_params): each
+    param leaf sharded over the data axis on its first divisible dim —
+    the same zero1_spec layout as the optimizer moments, so params,
+    grads, and moments share one partitioning. Inside the jitted step
+    GSPMD all-gathers each weight at its forward/backward use sites and
+    reduce-scatters its gradient; per-chip memory for params + grads +
+    2 fp32 moments drops to 1/N."""
+    return shard_opt_state_zero1(mesh, params)
+
+
 @functools.lru_cache(maxsize=None)
 def cpu_test_mesh(n: int = 8) -> Mesh:
     """n-device mesh for CPU multi-device tests (SURVEY §4c)."""

@@ -37,11 +37,18 @@ class PretrainTask:
             cfg.optimizer, steps_per_epoch=steps_per_epoch,
             max_epoch=cfg.max_epoch,
             # a pallas_call does not partition shard-local under GSPMD:
-            # under TP (sharded params) keep optax; under ZeRO-1 the fused
-            # update instead runs inside a shard_map region that mirrors
-            # shard_opt_state_zero1's layout (kernels/fused_adamw.py)
-            allow_fused=self.mesh.shape[self.mesh.axis_names[1]] == 1,
-            zero1_mesh=(self.mesh if cfg.mesh.shard_optimizer else None))
+            # under TP / FSDP (sharded params) keep optax; under ZeRO-1
+            # the fused update instead runs inside a shard_map region that
+            # mirrors shard_opt_state_zero1's layout (kernels/fused_adamw)
+            allow_fused=(self.mesh.shape[self.mesh.axis_names[1]] == 1
+                         and not cfg.mesh.shard_params),
+            zero1_mesh=(self.mesh if (cfg.mesh.shard_optimizer
+                                      and not cfg.mesh.shard_params)
+                        else None))
+        if (cfg.mesh.shard_params
+                and self.mesh.shape[self.mesh.axis_names[1]] > 1):
+            raise ValueError("shard_params (FSDP) and a model axis > 1 "
+                             "(TP) cannot be combined")
         self._train_step = None
 
     # -- state ---------------------------------------------------------
@@ -95,7 +102,15 @@ class PretrainTask:
                 state = state.replace(opt_state=self.tx.init(params))
         else:
             state = jax.device_put(state, replicated_sharding(self.mesh))
-        if self.cfg.mesh.shard_optimizer:
+        if self.cfg.mesh.shard_params:
+            # FSDP / ZeRO-3: params sharded over 'data' like the moments
+            from ..core.mesh import shard_params_fsdp
+
+            params = shard_params_fsdp(self.mesh, state.params)
+            state = state.replace(params=params)
+            if reinit_opt:
+                state = state.replace(opt_state=self.tx.init(params))
+        if self.cfg.mesh.shard_optimizer or self.cfg.mesh.shard_params:
             from ..core.mesh import shard_opt_state_zero1
 
             state = state.replace(
@@ -126,7 +141,8 @@ class PretrainTask:
         # (GSPMD then computes moment updates shard-local and all-gathers
         # only the param updates); without the constraint propagation may
         # flip layouts between steps and re-shuffle the state every call.
-        if state is not None and self.cfg.mesh.shard_optimizer:
+        if state is not None and (self.cfg.mesh.shard_optimizer
+                                  or self.cfg.mesh.shard_params):
             return jax.tree_util.tree_map(lambda x: x.sharding, state)
         return None
 

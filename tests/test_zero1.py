@@ -81,6 +81,84 @@ def test_zero1_pretrain_step_matches_replicated():
 
 
 @pytest.mark.slow
+def test_fsdp_pretrain_step_matches_replicated():
+    """FSDP / ZeRO-3 (MeshConfig.shard_params): params AND moments
+    sharded over 'data'. One jitted step must be numerically identical
+    to the replicated run — GSPMD only changes where tensors live and
+    which collectives move them."""
+    from jax.sharding import PartitionSpec as P
+
+    from ecamp_tpu.train.pretrain import PretrainTask
+
+    def build(shard_params):
+        tiny = cfg.PretrainConfig(
+            vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                              depth=2, num_heads=2),
+            decoder=cfg.MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+            bert=cfg.BertConfig(vocab_size=64, hidden_size=32,
+                                num_hidden_layers=2, num_attention_heads=2,
+                                intermediate_size=64,
+                                max_position_embeddings=8),
+            optimizer=cfg.OptimizerConfig(schedule="constant", lr=1e-3),
+            data=cfg.DataConfig(img_size=64),
+            mesh=cfg.MeshConfig(data=8, shard_params=shard_params),
+            sr_window=1, max_caption_length=8, bf16=False)
+        task = PretrainTask(tiny, mesh=make_mesh(tiny.mesh))
+        return task, task.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(5)
+    batch = {
+        "image": rng.normal(size=(8, 64, 64, 3)).astype(np.float32),
+        "ids": rng.integers(0, 64, (8, 8)).astype(np.int32),
+        "labels": rng.integers(0, 64, (8, 8)).astype(np.int32),
+        "attention_mask": np.ones((8, 8), np.int32),
+        "type_ids": np.zeros((8, 8), np.int32),
+        "weights": np.ones((8, 8), np.float32),
+        "column": np.zeros((8,), np.int32),
+        "row": np.zeros((8,), np.int32)}
+    outs = {}
+    for shard_params in (False, True):
+        task, state = build(shard_params)
+        if shard_params:
+            # divisible param leaves sharded over 'data', scalars not
+            cls = state.params["cls_token"]
+            assert "data" in str(cls.sharding.spec), cls.sharding
+            mu = [x for x in jax.tree_util.tree_leaves(state.opt_state)
+                  if getattr(x, "ndim", 0) >= 1]
+            assert any("data" in str(x.sharding.spec) for x in mu)
+        sharded = task.shard_batch(batch)
+        losses = []
+        for _ in range(2):
+            state, m = task.train_step(state, sharded, jax.random.PRNGKey(7))
+            losses.append(float(m["loss"]))
+        if shard_params:
+            # layout stable after the step (pinned by _out_constraint)
+            assert "data" in str(state.params["cls_token"].sharding.spec)
+        outs[shard_params] = (losses,
+                              np.asarray(state.params["cls_token"]))
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[False][1], outs[True][1], rtol=1e-5,
+                               atol=1e-7)
+
+
+def test_fsdp_rejects_tp_mesh():
+    from ecamp_tpu.train.pretrain import PretrainTask
+
+    tiny = cfg.PretrainConfig(
+        vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                          depth=1, num_heads=2),
+        decoder=cfg.MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+        bert=cfg.BertConfig(vocab_size=64, hidden_size=32,
+                            num_hidden_layers=1, num_attention_heads=2,
+                            intermediate_size=64, max_position_embeddings=8),
+        data=cfg.DataConfig(img_size=64),
+        mesh=cfg.MeshConfig(data=4, model=2, shard_params=True),
+        sr_window=1, max_caption_length=8, bf16=False)
+    with pytest.raises(ValueError, match="FSDP"):
+        PretrainTask(tiny, mesh=make_mesh(tiny.mesh))
+
+
+@pytest.mark.slow
 def test_zero1_fused_update_matches_optax_fixed_grads():
     """The shard_map ZeRO-1 fused update (kernels/fused_adamw.py::
     _zero1_update) vs the optax chain on the same FIXED grads (no
