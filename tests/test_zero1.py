@@ -141,6 +141,73 @@ def test_fsdp_pretrain_step_matches_replicated():
                                atol=1e-7)
 
 
+@pytest.mark.slow
+def test_orbax_roundtrip_sharded_state(tmp_path):
+    """Checkpoint round trip for a sharded (FSDP + ZeRO-1) TrainState:
+    orbax must snapshot non-trivially NamedSharded arrays before the
+    donating step clobbers them, and restore into a sharded template
+    with values intact (the resume path for --fsdp/--shard_optimizer)."""
+    from ecamp_tpu.ckpt import restore_checkpoint, save_checkpoint
+    from ecamp_tpu.train.pretrain import PretrainTask
+
+    def build():
+        tiny = cfg.PretrainConfig(
+            vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                              depth=1, num_heads=2),
+            decoder=cfg.MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+            bert=cfg.BertConfig(vocab_size=64, hidden_size=32,
+                                num_hidden_layers=1, num_attention_heads=2,
+                                intermediate_size=64,
+                                max_position_embeddings=8),
+            optimizer=cfg.OptimizerConfig(schedule="constant", lr=1e-3),
+            data=cfg.DataConfig(img_size=64),
+            mesh=cfg.MeshConfig(data=8, shard_params=True,
+                                shard_optimizer=True),
+            sr_window=1, max_caption_length=8, bf16=False)
+        task = PretrainTask(tiny, mesh=make_mesh(tiny.mesh))
+        return task, task.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(7)
+    batch = {
+        "image": rng.normal(size=(8, 64, 64, 3)).astype(np.float32),
+        "ids": rng.integers(0, 64, (8, 8)).astype(np.int32),
+        "labels": rng.integers(0, 64, (8, 8)).astype(np.int32),
+        "attention_mask": np.ones((8, 8), np.int32),
+        "type_ids": np.zeros((8, 8), np.int32),
+        "weights": np.ones((8, 8), np.float32),
+        "column": np.zeros((8,), np.int32),
+        "row": np.zeros((8,), np.int32)}
+    task, state = build()
+    assert "data" in str(state.params["cls_token"].sharding.spec)
+    sharded = task.shard_batch(batch)
+    key = jax.random.PRNGKey(1)
+    state, _ = task.train_step(state, sharded, key)  # donating step
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+    snap = jax.device_get(tree)
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 1, tree)
+    for _ in range(3):  # clobber the donated buffers
+        state, _ = task.train_step(state, sharded, key)
+
+    task2, template = build()
+    out = restore_checkpoint(
+        d, template={"params": template.params,
+                     "opt_state": template.opt_state,
+                     "step": template.step})
+    # restored with the template's (sharded) layouts and exact values
+    assert "data" in str(out["params"]["cls_token"].sharding.spec)
+    for a, b in zip(jax.tree_util.tree_leaves(snap),
+                    jax.tree_util.tree_leaves(jax.device_get(out))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored state trains
+    restored = template.replace(params=out["params"],
+                                opt_state=out["opt_state"],
+                                step=out["step"])
+    restored, m = task2.train_step(restored, task2.shard_batch(batch), key)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_fsdp_rejects_tp_mesh():
     from ecamp_tpu.train.pretrain import PretrainTask
 
