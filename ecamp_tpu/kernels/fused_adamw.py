@@ -142,6 +142,21 @@ def _leaf_update_pallas(g, m, v, p, scal, b1, b2, eps, wd):
     return p_new, m_new, v_new
 
 
+def _leaf_dispatch(g, m, v, p, scal, wd, b1, b2, eps, pallas_ok):
+    """One leaf's update via the Pallas kernel (big leaves on TPU) or the
+    single-fusion jnp formula. scal: (5,) [lr, bc1, bc2, gdiv, gmul]."""
+    if pallas_ok and p.size >= _MIN_PALLAS_ELEMS:
+        return _leaf_update_pallas(g, m, v, p, scal, b1, b2, eps, wd)
+    return _leaf_update_jnp(g, m, v, p, scal[0], scal[1], scal[2], scal[3],
+                            scal[4], b1, b2, eps, wd)
+
+
+def _unzip3(triples):
+    is_tup = lambda x: isinstance(x, tuple)
+    return tuple(jax.tree_util.tree_map(lambda t: t[i], triples,
+                                        is_leaf=is_tup) for i in range(3))
+
+
 def _zero1_update(mesh, grads, mu, nu, params, scal, mask, weight_decay,
                   b1, b2, eps, pallas_ok):
     """One fused AdamW update with moments ZeRO-1-sharded over the data
@@ -163,7 +178,6 @@ def _zero1_update(mesh, grads, mu, nu, params, scal, mask, weight_decay,
     mom_specs = jax.tree_util.tree_map(
         lambda p: zero1_spec(p.shape, axis, n), params)
     rep_specs = jax.tree_util.tree_map(lambda _: P(), params)
-    is_tup = lambda x: isinstance(x, tuple)
 
     def region(g_tree, mu_tree, nu_tree, p_tree, scal_arr):
         idx = jax.lax.axis_index(axis)
@@ -176,22 +190,14 @@ def _zero1_update(mesh, grads, mu, nu, params, scal, mask, weight_decay,
                 p_l = jax.lax.dynamic_slice_in_dim(p, idx * size, size, d)
             else:
                 p_l = p
-            if pallas_ok and p_l.size >= _MIN_PALLAS_ELEMS:
-                p_new, m_new, v_new = _leaf_update_pallas(
-                    g, m, v, p_l, scal_arr, b1, b2, eps, wd)
-            else:
-                p_new, m_new, v_new = _leaf_update_jnp(
-                    g, m, v, p_l, scal_arr[0], scal_arr[1], scal_arr[2],
-                    scal_arr[3], scal_arr[4], b1, b2, eps, wd)
+            p_new, m_new, v_new = _leaf_dispatch(g, m, v, p_l, scal_arr, wd,
+                                                 b1, b2, eps, pallas_ok)
             if d >= 0:
                 p_new = jax.lax.all_gather(p_new, axis, axis=d, tiled=True)
             return p_new, m_new, v_new
 
-        triples = jax.tree_util.tree_map(leaf, g_tree, mu_tree, nu_tree,
-                                         p_tree, mask, dims)
-        return (jax.tree_util.tree_map(lambda t: t[0], triples, is_leaf=is_tup),
-                jax.tree_util.tree_map(lambda t: t[1], triples, is_leaf=is_tup),
-                jax.tree_util.tree_map(lambda t: t[2], triples, is_leaf=is_tup))
+        return _unzip3(jax.tree_util.tree_map(leaf, g_tree, mu_tree, nu_tree,
+                                              p_tree, mask, dims))
 
     return jax.shard_map(
         region, mesh=mesh,
@@ -272,21 +278,12 @@ def fused_adamw(sched, b1: float, b2: float, eps: float,
         else:
             def leaf(g, m, v, p, decay):
                 wd = weight_decay if decay else 0.0
-                if pallas_ok and p.size >= _MIN_PALLAS_ELEMS:
-                    return _leaf_update_pallas(g, m, v, p, scal,
-                                               b1, b2, eps, wd)
-                return _leaf_update_jnp(g, m, v, p, lr, bc1, bc2, gdiv, gmul,
-                                        b1, b2, eps, wd)
+                return _leaf_dispatch(g, m, v, p, scal, wd,
+                                      b1, b2, eps, pallas_ok)
 
-            is_tup = lambda x: isinstance(x, tuple)
-            triples = jax.tree_util.tree_map(leaf, grads, adam_state.mu,
-                                             adam_state.nu, params, mask)
-            new_params = jax.tree_util.tree_map(lambda t: t[0], triples,
-                                                is_leaf=is_tup)
-            new_mu = jax.tree_util.tree_map(lambda t: t[1], triples,
-                                            is_leaf=is_tup)
-            new_nu = jax.tree_util.tree_map(lambda t: t[2], triples,
-                                            is_leaf=is_tup)
+            new_params, new_mu, new_nu = _unzip3(
+                jax.tree_util.tree_map(leaf, grads, adam_state.mu,
+                                       adam_state.nu, params, mask))
         new_inner = (
             adam_state._replace(count=count_inc, mu=new_mu, nu=new_nu),
             *inner[1:-1],
