@@ -119,6 +119,7 @@ def main():
         rng, pretrained=args.resume if resume_pth else args.pretrained)
 
     start_epoch = 0
+    skip_batches = 0
     ckpt_dir = os.path.join(os.path.abspath(args.output_dir), "ckpt")
     if args.resume:
         if resume_pth:
@@ -159,7 +160,11 @@ def main():
                                   opt_state=restored["opt_state"],
                                   step=np.int32(restored["step"])),
                     reinit_opt=False)
-                start_epoch = int(restored["step"]) // steps_per_epoch
+                # mid-epoch (preemption) checkpoints resume step-exact:
+                # replay the interrupted epoch's deterministic loader
+                # order and skip the batches already consumed
+                start_epoch, skip_batches = divmod(int(restored["step"]),
+                                                   steps_per_epoch)
 
     jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"),
                         enabled=jax.process_index() == 0)
@@ -171,7 +176,11 @@ def main():
     step_rng = jax.random.PRNGKey(args.seed + 1)
 
     from ..core.mesh import prefetch_to_device
+    from ..core.preemption import PreemptionGuard
 
+    guard = PreemptionGuard()
+    host_step = int(state.step)
+    preempted = False
     scan_k = max(1, args.steps_per_call)
     scan_step = task.make_train_step_scan(state) if scan_k > 1 else None
 
@@ -202,6 +211,11 @@ def main():
 
     for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
+        host_iter = iter(loader)
+        if epoch == start_epoch and skip_batches:
+            import itertools
+
+            host_iter = itertools.islice(host_iter, skip_batches, None)
         logger = MetricLogger()
         # double-buffered H2D prefetch + one step in flight: the float()
         # sync of step N's metrics happens AFTER step N+1 is dispatched,
@@ -217,7 +231,7 @@ def main():
 
         if scan_k > 1:
             for item in logger.log_every(
-                    _superbatches(iter(loader)), args.print_freq,
+                    _superbatches(host_iter), args.print_freq,
                     header=f"Epoch [{epoch}]"):
                 if isinstance(item, list):  # short final group
                     ndata = task.mesh.shape[task.mesh.axis_names[0]]
@@ -232,21 +246,45 @@ def main():
                         if pending is not None:
                             _flush(pending)
                         pending = metrics
+                        host_step += 1
+                        if guard.should_save(host_step):
+                            preempted = True
+                            break
                 else:
                     state, metrics = scan_step(state, item, step_rng)
                     if pending is not None:
                         _flush(pending)
                     pending = metrics
+                    host_step += scan_k
+                    preempted = guard.should_save(host_step)
+                if preempted:
+                    break
         else:
             for sharded in logger.log_every(
-                    prefetch_to_device(iter(loader), task.mesh),
+                    prefetch_to_device(host_iter, task.mesh),
                     args.print_freq, header=f"Epoch [{epoch}]"):
                 state, metrics = task.train_step(state, sharded, step_rng)
                 if pending is not None:
                     _flush(pending)
                 pending = metrics
+                host_step += 1
+                if guard.should_save(host_step):
+                    preempted = True
+                    break
         if pending is not None:
             _flush(pending)
+        if preempted:
+            from ..ckpt import save_checkpoint
+
+            # blocking: the grace window may expire right after we return
+            save_checkpoint(ckpt_dir, host_step,
+                            {"params": state.params,
+                             "opt_state": state.opt_state,
+                             "step": host_step}, block=True)
+            if jax.process_index() == 0:
+                print(f"preemption checkpoint saved @ step {host_step} "
+                      f"(epoch {epoch}); resume with --resume {ckpt_dir}")
+            return
         logger.synchronize_between_processes()
         from ..core.metrics import device_memory_mb
 
