@@ -38,6 +38,21 @@ def jet_colormap(x: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+def heatmap_from_row(attn_row: np.ndarray, out_size: int = 224) -> np.ndarray:
+    """Reference post-processing of one cross-attention text row
+    (main_visualization.py:156-167): (H, grid^2) -> reshape to the patch
+    grid, max over heads, ^0.25 contrast, min-max normalize, bilinear
+    upsample (half-pixel centers == torch align_corners=False) to
+    (out_size, out_size). Returns the float map in [0, 1]."""
+    grid = int(round(attn_row.shape[-1] ** 0.5))
+    attn = attn_row.reshape(attn_row.shape[0], grid, grid)
+    amap = attn.max(axis=0) ** 0.25
+    amap = (amap - amap.min()) / (amap.max() - amap.min() + 1e-12)
+    return np.asarray(jax.image.resize(
+        jnp.asarray(amap)[None, :, :, None],
+        (1, out_size, out_size, 1), "bilinear"))[0, :, :, 0]
+
+
 def get_args():
     p = argparse.ArgumentParser("ecamp_tpu visualize")
     p.add_argument("--image", required=True)
@@ -92,14 +107,9 @@ def main():
 
     out = model.apply(variables, batch, mask_ratio=0.0, deterministic=True,
                       return_cross_probs=True)
-    # (1, H, L_text, grid^2) -> token row -> (H, grid, grid)
+    # (1, H, L_text, grid^2) -> token row -> normalized 224 map
     attn = np.asarray(out["cross_attention"])[0, :, args.token_index]
-    grid = int(round(attn.shape[-1] ** 0.5))
-    attn = attn.reshape(attn.shape[0], grid, grid)
-    amap = attn.max(axis=0) ** 0.25
-    amap = (amap - amap.min()) / (amap.max() - amap.min() + 1e-12)
-    amap = np.asarray(jax.image.resize(jnp.asarray(amap)[None, :, :, None],
-                                       (1, 224, 224, 1), "bilinear"))[0, :, :, 0]
+    amap = heatmap_from_row(attn, out_size=224)
     color = (jet_colormap(amap) * 255).astype(np.uint8)
     blended = (0.5 * origin + 0.5 * color).astype(np.uint8)
     Image.fromarray(blended).save(args.output)

@@ -19,6 +19,7 @@ REF_CLS = "/root/reference/ECAMP/Fine-tuning/Classification"
 REF_SEG = "/root/reference/ECAMP/Fine-tuning/Segmentation"
 REF_DET = "/root/reference/ECAMP/Fine-tuning/Detection"
 REF_PRE = "/root/reference/ECAMP/Pre-training"
+REF_VIZ = "/root/reference/Visualization"
 
 
 def _install_stubs():
@@ -224,7 +225,7 @@ def _import_ref_train(ref_dir: str = REF_CLS, modname: str = "ref_cls_train",
     previously-imported copies are purged and sys.path is re-ordered
     before loading."""
     _install_stubs()
-    for other in (REF_CLS, REF_SEG, REF_DET, REF_PRE):
+    for other in (REF_CLS, REF_SEG, REF_DET, REF_PRE, REF_VIZ):
         while other in sys.path:
             sys.path.remove(other)
     for name in list(sys.modules):
@@ -636,3 +637,109 @@ def run_reference_pretrain(data_root: str, init_out: str = None, *,
         cf.BertSelfAttention = real_cross
         be.BertConfig = real_bconf
     return {"epochs": per_epoch}
+
+
+def run_reference_visualization(init_out: str, *, image, ids,
+                                attention_mask, type_ids,
+                                embed_dim: int = 64, depth: int = 2,
+                                num_heads: int = 4,
+                                decoder_embed_dim: int = 64,
+                                decoder_depth: int = 1,
+                                decoder_num_heads: int = 4,
+                                bert_hidden: int = 64, bert_layers: int = 2,
+                                bert_heads: int = 4,
+                                bert_intermediate: int = 128,
+                                img_size: int = 224, seed: int = 7):
+    """Drive the reference Visualization forward in-process on CPU.
+
+    Builds the Visualization flavor of ECAMP (whose context-fusion layer
+    returns the raw cross-attention probabilities —
+    Visualization/module/context_fusion.py:57, bert_modeling.py:121-129)
+    with tiny dims at the real 224/16 grid, saves its fresh init to
+    `init_out` as {"model": sd} so the JAX side can import the identical
+    weights, and runs main_visualization.py's model call (eval,
+    no_grad, default mask_ratio=0 — model_ecamp.py:308-319).
+
+    Quirk handled here: at mask_ratio=0 the reference still routes all
+    tokens through random_masking's argsort(rand) shuffle
+    (model_ecamp.py:166-191), so the returned key axis is in a random
+    patch order. The shuffle's noise is the only RNG draw of the eval
+    forward, so it is replayed from the same torch seed to recover
+    ids_shuffle, and the probs are returned BOTH in raw key order and
+    unshuffled to patch order (key j attends patch ids_shuffle[j]).
+
+    Returns {"probs_key_order", "probs_patch_order", "ids_shuffle"}
+    as numpy arrays; probs are (1, H, L_text, grid^2).
+    """
+    import functools
+    import importlib
+
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    _install_stubs()
+    _transformers_compat()
+    for other in (REF_CLS, REF_SEG, REF_DET, REF_PRE, REF_VIZ):
+        while other in sys.path:
+            sys.path.remove(other)
+    for name in list(sys.modules):
+        if name in ("models_vit", "utils", "detector_backbone_vit",
+                    "detector_backbone_resnet", "detector_model",
+                    "util", "module") or \
+                name.startswith(("utils.", "util.", "module.")):
+            del sys.modules[name]
+    sys.path.insert(0, REF_VIZ)
+    me = importlib.import_module("module.model_ecamp")
+
+    from .hf_compat import OldBertSelfAttention
+
+    cf = sys.modules["module.context_fusion"]
+    bc = sys.modules["module.bert_config"]
+    be = sys.modules["module.bert_encoder"]
+    real_cross = cf.BertSelfAttention
+    real_bconf = be.BertConfig
+    cf.BertSelfAttention = OldBertSelfAttention
+    be.BertConfig = functools.partial(
+        bc.BertConfig, hidden_size=bert_hidden,
+        num_hidden_layers=bert_layers, num_attention_heads=bert_heads,
+        intermediate_size=bert_intermediate)
+
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        torch.manual_seed(seed)
+        model = me.ECAMP(
+            img_size=img_size, patch_size=16, embed_dim=embed_dim,
+            depth=depth, num_heads=num_heads,
+            decoder_embed_dim=decoder_embed_dim,
+            decoder_depth=decoder_depth,
+            decoder_num_heads=decoder_num_heads, mlp_ratio=4,
+            norm_layer=functools.partial(nn.LayerNorm, eps=1e-6))
+        # retie the 768-hardcoded bridge to the tiny BERT hidden
+        # (model_ecamp.py:99), same init as the pretrain runner
+        model.bert_mlp = nn.Linear(embed_dim, bert_hidden, bias=True)
+        model._init_weights(model.bert_mlp)
+        torch.save({"model": model.state_dict()}, init_out)
+        model.eval()
+
+        L = (img_size // 16) ** 2
+        # replay the forward's single RNG draw to recover the shuffle
+        torch.manual_seed(seed + 1)
+        noise = torch.rand(1, L)
+        ids_shuffle = torch.argsort(noise, dim=1)[0].numpy()
+        torch.manual_seed(seed + 1)
+        with torch.no_grad():
+            probs = model(torch.as_tensor(image),
+                          torch.as_tensor(ids),
+                          torch.as_tensor(attention_mask),
+                          torch.as_tensor(type_ids))
+        probs = probs.numpy()
+        patch_order = np.empty_like(probs)
+        patch_order[..., ids_shuffle] = probs
+    finally:
+        torch.Tensor.cuda = orig_cuda
+        cf.BertSelfAttention = real_cross
+        be.BertConfig = real_bconf
+    return {"probs_key_order": probs, "probs_patch_order": patch_order,
+            "ids_shuffle": ids_shuffle}
