@@ -37,6 +37,12 @@ A100_REFERENCE_IMG_PER_SEC = 250.0
 BATCH = int(os.environ.get("ECAMP_BENCH_BATCH", "104"))
 WARMUP = 3
 STEPS = 10
+# The remote-TPU transport in this environment adds occasional multi-ms
+# stalls; a single 10-step window wobbles ~3% run-to-run (535-551 img/s
+# measured same-session). Time WINDOWS independent windows and report the
+# median window's rate — robust to one-off tunnel hiccups, honest about
+# steady-state throughput.
+WINDOWS = int(os.environ.get("ECAMP_BENCH_WINDOWS", "5"))
 
 
 def _require_devices(timeout_s: float = 600.0):
@@ -111,13 +117,16 @@ def bench_synthetic():
         for _ in range(max(1, WARMUP // scan_k)):
             state, metrics = scan_step(state, super_b, key)
         float(metrics["loss"][-1])
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, metrics = scan_step(state, super_b, key)
-        float(metrics["loss"][-1])
-        dt = time.perf_counter() - t0
+        rates = []
         n_chips = jax.device_count()
-        img_per_sec_per_chip = BATCH * scan_k * steps / dt / n_chips
+        for _ in range(WINDOWS):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, metrics = scan_step(state, super_b, key)
+            float(metrics["loss"][-1])
+            dt = time.perf_counter() - t0
+            rates.append(BATCH * scan_k * steps / dt / n_chips)
+        img_per_sec_per_chip = sorted(rates)[len(rates) // 2]
         print(json.dumps({
             "metric": "ecamp_pretrain_images_per_sec_per_chip",
             "value": round(img_per_sec_per_chip, 2),
@@ -130,13 +139,16 @@ def bench_synthetic():
         state, metrics = task.train_step(state, batch, key)
     float(metrics["loss"])  # hard sync (block_until_ready proved unreliable
     #                         through the remote-TPU transport)
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = task.train_step(state, batch, key)
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
+    rates = []
     n_chips = jax.device_count()
-    img_per_sec_per_chip = BATCH * STEPS / dt / n_chips
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            state, metrics = task.train_step(state, batch, key)
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        rates.append(BATCH * STEPS / dt / n_chips)
+    img_per_sec_per_chip = sorted(rates)[len(rates) // 2]
     print(json.dumps({
         "metric": "ecamp_pretrain_images_per_sec_per_chip",
         "value": round(img_per_sec_per_chip, 2),
