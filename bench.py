@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -42,7 +43,7 @@ STEPS = 10
 # measured same-session). Time WINDOWS independent windows and report the
 # median window's rate — robust to one-off tunnel hiccups, honest about
 # steady-state throughput.
-WINDOWS = int(os.environ.get("ECAMP_BENCH_WINDOWS", "5"))
+WINDOWS = max(1, int(os.environ.get("ECAMP_BENCH_WINDOWS", "5")))
 
 
 def _require_devices(timeout_s: float = 600.0):
@@ -126,7 +127,7 @@ def bench_synthetic():
             float(metrics["loss"][-1])
             dt = time.perf_counter() - t0
             rates.append(BATCH * scan_k * steps / dt / n_chips)
-        img_per_sec_per_chip = sorted(rates)[len(rates) // 2]
+        img_per_sec_per_chip = statistics.median(rates)
         print(json.dumps({
             "metric": "ecamp_pretrain_images_per_sec_per_chip",
             "value": round(img_per_sec_per_chip, 2),
@@ -148,7 +149,7 @@ def bench_synthetic():
         float(metrics["loss"])
         dt = time.perf_counter() - t0
         rates.append(BATCH * STEPS / dt / n_chips)
-    img_per_sec_per_chip = sorted(rates)[len(rates) // 2]
+    img_per_sec_per_chip = statistics.median(rates)
     print(json.dumps({
         "metric": "ecamp_pretrain_images_per_sec_per_chip",
         "value": round(img_per_sec_per_chip, 2),

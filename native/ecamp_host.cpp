@@ -266,7 +266,12 @@ void ecamp_resize_norm(const uint8_t* src, int64_t sh, int64_t sw,
                 float acc = 0.0f;
                 for (int32_t j = 0; j < xsz; ++j)
                     acc += row[(xmin + j) * c_in + c] * w[j];
-                trow[x * c_in + c] = acc;
+                // PIL's 8bpc resample rounds+clips the horizontal pass to
+                // u8 before the vertical pass (clip8 in Resample.c); match
+                // it so bicubic overshoot clips identically between passes
+                trow[x * c_in + c] = static_cast<float>(
+                    static_cast<uint8_t>(std::clamp(acc + 0.5f, 0.0f,
+                                                    255.0f)));
             }
         }
     }
@@ -285,11 +290,16 @@ void ecamp_resize_norm(const uint8_t* src, int64_t sh, int64_t sw,
             }
             float* out = dst + (y * ow + x) * 3;
             if (grayscale && c_in >= 3) {
-                // PIL convert('L') rounds to u8 BEFORE normalize; match it
-                float l = px[0] * 0.299f + px[1] * 0.587f + px[2] * 0.114f;
-                float lq = static_cast<float>(static_cast<uint8_t>(
-                    std::clamp(l + 0.5f, 0.0f, 255.0f)));
-                float v = (lq / 255.0f - mean) * inv_std;
+                // PIL quantizes each resized channel to u8 (clip8), THEN
+                // convert('L') applies fixed-point ITU-R 601-2 luma
+                // (L24 in Pillow: (19595 r + 38470 g + 7471 b + 0x8000)>>16)
+                uint32_t q[3];
+                for (int c = 0; c < 3; ++c)
+                    q[c] = static_cast<uint8_t>(
+                        std::clamp(px[c] + 0.5f, 0.0f, 255.0f));
+                uint32_t lq = (19595u * q[0] + 38470u * q[1] +
+                               7471u * q[2] + 0x8000u) >> 16;
+                float v = (static_cast<float>(lq) / 255.0f - mean) * inv_std;
                 out[0] = out[1] = out[2] = v;
             } else {
                 for (int64_t c = 0; c < 3; ++c) {
