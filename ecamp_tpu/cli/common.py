@@ -302,3 +302,125 @@ def eval_state_and_sharder(task, state):
         return _jax.device_put(x, repl)
 
     return lstate, place
+
+
+class FinetunePreemption:
+    """Preemption-safe mid-run state for the fine-tune CLIs.
+
+    SIGTERM (or the injected fault ECAMP_PREEMPT_AT_STEP, counted in
+    MICRO steps) checkpoints {params, opt_state, [batch_stats], counters,
+    early-stop state} into <output_dir>/preempt and exits cleanly; a
+    rerun with the same --output_dir resumes micro-step-exact (dropout
+    RNG folds on state.step == micro and the loader order is
+    deterministic per (seed, epoch)), including a partially-filled
+    gradient-accumulation buffer inside opt_state. Beyond-reference:
+    the reference's only recovery is the detection trainer's best-ckpt
+    step fast-forward (Detection/train.py:176-182) — see SURVEY §5.3.
+    """
+
+    def __init__(self, task, output_dir: str, loader_len: int,
+                 accum: int = 1):
+        from ..core.preemption import PreemptionGuard
+
+        self.task = task
+        self.guard = PreemptionGuard()
+        self.dir = os.path.join(os.path.abspath(output_dir), "preempt")
+        self.loader_len = max(1, int(loader_len))
+        self.accum = max(1, int(accum))
+
+    # every epoch consumes exactly loader_len micro-batches, so the micro
+    # counter alone pins (epoch, position-in-epoch)
+
+    def _template(self, state):
+        t = {"params": state.params, "opt_state": state.opt_state,
+             "meta": {"micro": 0, "step": 0, "best": 0.0, "bad": 0,
+                      "has_best": False}}
+        if getattr(state, "batch_stats", None) is not None:
+            t["batch_stats"] = state.batch_stats
+        return t
+
+    def resume(self, state, stopper: "EarlyStopper", micro: int = 0,
+               step: int = 0, epoch: int = 0):
+        """-> (state, micro, step, epoch, skip_micro); passes the caller's
+        counters through unchanged when no preemption checkpoint exists
+        under output_dir (so e.g. detection's --resume best-ckpt
+        fast-forward survives)."""
+        from ..ckpt import latest_step, restore_checkpoint
+        from ..core.mesh import place_finetune_state
+
+        pstep = latest_step(self.dir) if os.path.isdir(self.dir) else None
+        if pstep is None:
+            return state, micro, step, epoch, 0
+        restored = restore_checkpoint(self.dir, pstep,
+                                      template=self._template(state))
+        meta = restored["meta"]
+        micro, step = int(meta["micro"]), int(meta["step"])
+        if meta["has_best"]:
+            stopper.best = float(meta["best"])
+            stopper.bad = int(meta["bad"])
+        kw = dict(params=restored["params"], opt_state=restored["opt_state"],
+                  step=np.int32(micro))
+        if restored.get("batch_stats") is not None:
+            kw["batch_stats"] = restored["batch_stats"]
+        state = place_finetune_state(self.task.mesh, state.replace(**kw))
+        epoch, skip_micro = divmod(micro, self.loader_len)
+        if jax.process_index() == 0:
+            print(f"resuming from preemption checkpoint: micro {micro} "
+                  f"(optimizer step {step}, epoch {epoch})")
+        return state, micro, step, epoch, skip_micro
+
+    def maybe_save(self, state, micro: int, step: int,
+                   stopper: "EarlyStopper") -> bool:
+        """Poll once per micro step; on a preemption request write the
+        blocking checkpoint and return True (caller exits the CLI).
+
+        The saved optimizer-step counter is derived as micro // accum —
+        NOT the caller's loop variable, which at the poll site has not
+        yet been incremented for a just-completed accumulation cycle;
+        persisting the stale value made a resumed run execute one extra
+        optimizer step and shifted its eval schedule off the
+        uninterrupted run's (caught by the det preemption drill, where
+        mAP is sensitive to the eval step)."""
+        if not self.guard.should_save(micro):
+            return False
+        from ..ckpt import save_checkpoint
+
+        save_checkpoint(
+            self.dir, micro,
+            {**({"batch_stats": state.batch_stats}
+                if getattr(state, "batch_stats", None) is not None else {}),
+             "params": state.params, "opt_state": state.opt_state,
+             "meta": {"micro": micro, "step": micro // self.accum,
+                      "best": float(stopper.best
+                                    if stopper.best is not None else 0.0),
+                      "bad": int(stopper.bad),
+                      "has_best": stopper.best is not None}},
+            block=True)
+        self.guard.uninstall()
+        if jax.process_index() == 0:
+            print(f"preemption checkpoint saved @ micro {micro} "
+                  f"(optimizer step {step}); rerun with the same "
+                  f"--output_dir to resume")
+        return True
+
+    def finish(self) -> None:
+        """Training completed normally: drop the stale preemption state so
+        a future rerun in this output_dir does not skip straight to test."""
+        self.guard.uninstall()
+        if jax.process_index() == 0 and os.path.isdir(self.dir):
+            import shutil
+
+            from ..ckpt.orbax_io import wait_for_saves
+
+            wait_for_saves(self.dir)
+            shutil.rmtree(self.dir, ignore_errors=True)
+
+
+def skip_micro_batches(batch_iter, skip: int):
+    """Fast-forward a deterministic epoch iterator after a mid-epoch
+    preemption resume."""
+    if skip:
+        import itertools
+
+        return itertools.islice(batch_iter, skip, None)
+    return batch_iter

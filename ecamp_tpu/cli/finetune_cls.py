@@ -178,58 +178,20 @@ def main():
 
         place = _train_sharder(task.mesh)
 
-        # preemption-safe mid-run state (core/preemption.py): SIGTERM (or
-        # the injected fault ECAMP_PREEMPT_AT_STEP, counted in MICRO
-        # steps here) checkpoints {params, opt_state, counters, stopper}
-        # and exits; a rerun with the same --output_dir resumes
-        # micro-step-exact (dropout RNG folds on state.step == micro and
-        # the loader order is deterministic per epoch), including a
-        # partially-filled gradient-accumulation buffer inside opt_state.
-        from ..core.preemption import PreemptionGuard
+        # preemption-safe mid-run state (core/preemption.py via
+        # FinetunePreemption): SIGTERM or ECAMP_PREEMPT_AT_STEP (counted
+        # in MICRO steps) saves and exits; same --output_dir resumes
+        # micro-step-exact incl. a partial accumulation buffer.
+        from .common import FinetunePreemption, skip_micro_batches
 
-        guard = PreemptionGuard()
-        preempt_dir = os.path.join(os.path.abspath(args.output_dir),
-                                   "preempt")
-        skip_micro = 0
-        from ..ckpt import latest_step as _latest, \
-            restore_checkpoint as _restore
-
-        _pstep = _latest(preempt_dir) if os.path.isdir(preempt_dir) else None
-        if _pstep is not None:
-            from ..core.mesh import place_finetune_state
-
-            meta_t = {"micro": 0, "step": 0, "best": 0.0, "bad": 0,
-                      "has_best": False}
-            restored = _restore(preempt_dir, _pstep,
-                                template={"params": state.params,
-                                          "opt_state": state.opt_state,
-                                          "meta": meta_t})
-            meta = restored["meta"]
-            micro = int(meta["micro"])
-            step = int(meta["step"])
-            if meta["has_best"]:
-                stopper.best = float(meta["best"])
-                stopper.bad = int(meta["bad"])
-            state = place_finetune_state(
-                task.mesh,
-                state.replace(params=restored["params"],
-                              opt_state=restored["opt_state"],
-                              step=np.int32(micro)))
-            # every epoch consumes exactly len(train_loader) micro-batches,
-            # so micro alone pins (epoch, position-in-epoch)
-            epoch, skip_micro = divmod(micro, max(1, len(train_loader)))
-            if jax.process_index() == 0:
-                print(f"resuming from preemption checkpoint: micro {micro} "
-                      f"(optimizer step {step}, epoch {epoch})")
+        preempt = FinetunePreemption(task, args.output_dir,
+                                     len(train_loader), accum=accum)
+        state, micro, step, epoch, skip_micro = preempt.resume(state, stopper)
 
         while step < args.num_steps and not stopper.should_stop:
             train_loader.set_epoch(epoch)
-            batch_iter = iter(train_loader)
-            if skip_micro:
-                import itertools
-
-                batch_iter = itertools.islice(batch_iter, skip_micro, None)
-                skip_micro = 0
+            batch_iter = skip_micro_batches(iter(train_loader), skip_micro)
+            skip_micro = 0
             for batch in batch_iter:
                 labels = batch["label"]
                 if not multilabel:
@@ -243,25 +205,10 @@ def main():
                                   lr=float(pending["lr"]))
                 pending = m
                 micro += 1
-                if guard.should_save(micro):
+                if preempt.maybe_save(state, micro, step, stopper):
                     if pending is not None:
                         logger.update(loss=float(pending["loss"]),
                                       lr=float(pending["lr"]))
-                    save_checkpoint(
-                        preempt_dir, micro,
-                        {"params": state.params,
-                         "opt_state": state.opt_state,
-                         "meta": {"micro": micro, "step": step,
-                                  "best": float(stopper.best
-                                                if stopper.best is not None
-                                                else 0.0),
-                                  "bad": int(stopper.bad),
-                                  "has_best": stopper.best is not None}},
-                        block=True)
-                    if jax.process_index() == 0:
-                        print(f"preemption checkpoint saved @ micro {micro} "
-                              f"(optimizer step {step}); rerun with the "
-                              f"same --output_dir to resume")
                     return
                 if micro % accum != 0:
                     continue  # optimizer updates every accum micro-batches
@@ -287,15 +234,7 @@ def main():
                     if stopper.should_stop or step >= args.num_steps:
                         break
             epoch += 1
-        if jax.process_index() == 0 and os.path.isdir(preempt_dir):
-            # training finished — a stale preemption checkpoint would make
-            # a future rerun in this output_dir skip straight to test
-            import shutil
-
-            from ..ckpt.orbax_io import wait_for_saves
-
-            wait_for_saves(preempt_dir)
-            shutil.rmtree(preempt_dir, ignore_errors=True)
+        preempt.finish()
 
     # test phase: reload best, per-class report (train.py:267-361)
     from ..ckpt import latest_step, restore_checkpoint

@@ -151,14 +151,21 @@ def main():
 
         place = _train_sharder(task.mesh)
 
-        step, epoch = 0, 0
         logger = MetricLogger()
         pending = None
-        micro = 0
         accum = max(1, args.gradient_accumulation_steps)
+        # preemption-safe mid-run state (SIGTERM / ECAMP_PREEMPT_AT_STEP,
+        # counted in MICRO steps): see FinetunePreemption
+        from .common import FinetunePreemption, skip_micro_batches
+
+        preempt = FinetunePreemption(task, args.output_dir,
+                                     len(train_loader), accum=accum)
+        state, micro, step, epoch, skip_micro = preempt.resume(state, stopper)
         while step < args.num_steps and not stopper.should_stop:
             train_loader.set_epoch(epoch)
-            for batch in train_loader:
+            batch_iter = skip_micro_batches(iter(train_loader), skip_micro)
+            skip_micro = 0
+            for batch in batch_iter:
                 state, m = task.train_step(state, place(batch["image"]),
                                            place(batch["mask"]))
                 # one step in flight: sync the PREVIOUS step's
@@ -168,6 +175,8 @@ def main():
                                   lr=float(pending["lr"]))
                 pending = m
                 micro += 1
+                if preempt.maybe_save(state, micro, step, stopper):
+                    return
                 if micro % accum != 0:
                     continue  # optimizer updates every accum micro-batches
                 step += 1
@@ -190,6 +199,7 @@ def main():
                     if stopper.should_stop or step >= args.num_steps:
                         break
             epoch += 1
+        preempt.finish()
 
     from ..ckpt import latest_step, restore_checkpoint
 

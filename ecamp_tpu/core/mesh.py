@@ -289,3 +289,76 @@ def shard_params_fsdp(mesh: Mesh, params):
 def cpu_test_mesh(n: int = 8) -> Mesh:
     """n-device mesh for CPU multi-device tests (SURVEY §4c)."""
     return make_mesh(MeshConfig(data=n), devices=jax.devices()[:n])
+
+
+# -- TP attention constraints ------------------------------------------------
+#
+# Under a dp x tp mesh, GSPMD without guidance reshards attention
+# intermediates through full replication ("Involuntary full
+# rematerialization" warnings on image_encoder/blocks_*/attn/* — softmax
+# div/reduce and the qkv slice/pad transposes): the qkv projection output
+# inherits batch-only sharding from the input while the head-sharded
+# Megatron layout of the projection weights wants heads on the model
+# axis. The fix is an explicit in-graph constraint on every (B, H, N, D)
+# attention intermediate: batch on the data axis, heads on the model
+# axis. The constraint is a no-op unless tracing happens inside
+# `tp_constraint_scope` of a mesh whose model axis is >1, so single-chip
+# and pure-DP paths compile byte-identical programs.
+
+import contextvars as _contextvars
+
+_TP_MESH: "_contextvars.ContextVar" = _contextvars.ContextVar(
+    "ecamp_tp_mesh", default=None)
+
+
+class tp_constraint_scope:
+    """Context manager activating head-dim sharding constraints inside
+    attention modules for any jit TRACE performed within it."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        active = (mesh is not None and len(mesh.axis_names) >= 2
+                  and mesh.shape[mesh.axis_names[1]] > 1)
+        self.mesh = mesh if active else None
+        self._token = None
+
+    def __enter__(self):
+        if self.mesh is not None:
+            self._token = _TP_MESH.set(self.mesh)
+        return self
+
+    def __exit__(self, *exc):
+        if self._token is not None:
+            _TP_MESH.reset(self._token)
+            self._token = None
+        return False
+
+
+def constrain_heads(x):
+    """Pin a (B, H, N, D) attention intermediate to P(data, model) when a
+    tp_constraint_scope is active and the head count divides the model
+    axis; identity otherwise (single chip, pure DP, probs-returning viz
+    path, head counts that don't tile)."""
+    mesh = _TP_MESH.get()
+    if mesh is None or x.ndim != 4:
+        return x
+    d_ax, m_ax = mesh.axis_names[:2]
+    if x.shape[1] % mesh.shape[m_ax] != 0:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(d_ax, m_ax, None, None)))
+
+
+def tp_scoped_jit(mesh: Mesh, fn, **jit_kwargs):
+    """jax.jit whose (lazy, first-call) trace runs inside
+    tp_constraint_scope(mesh). Returns the bare jit when the mesh has no
+    model axis — zero per-call overhead on the common path."""
+    jitted = jax.jit(fn, **jit_kwargs)
+    if len(mesh.axis_names) < 2 or mesh.shape[mesh.axis_names[1]] <= 1:
+        return jitted
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with tp_constraint_scope(mesh):
+            return jitted(*args, **kwargs)
+
+    return wrapped

@@ -212,7 +212,21 @@ class PretrainReportDataset:
                                         scale=(0.2, 1.0),
                                         interpolation="bicubic", seed=seed)
         self.rng = random.Random(seed)
+        self.seed = seed
         self.image_dtype = image_dtype
+
+    def reseed(self, epoch: int, worker_id: int) -> None:
+        """DataLoader mp-worker protocol: give this (forked) worker an
+        independent, per-epoch-deterministic RNG stream for the stateful
+        augmentation/masking draws — torch DataLoader worker semantics
+        (each worker re-seeds per epoch; reference main_pretrain.py
+        relies on the same property for resumable shuffling)."""
+        base = (self.seed * 1_000_003 + epoch) * 1_000_003 + worker_id
+        self.rng = random.Random(base)
+        self.transform.rng = random.Random(base + 500_009)
+        # spawn-context workers receive the dataset pickled WITHOUT the
+        # ctypes tokenizer handle — re-attach the C++ fast path here
+        self.tokenizer.enable_native()
 
     def __len__(self):
         return len(self.images)

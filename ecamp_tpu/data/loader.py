@@ -34,12 +34,39 @@ class _ProducerError:
         self.exc = exc
 
 
+def _mp_worker(dataset, batches, K: int, wid: int, epoch: int, out_q,
+               collate) -> None:
+    """Module-level worker body (picklable, so the 'spawn' context works
+    when forking a JAX-threaded parent is undesirable)."""
+    try:
+        if hasattr(dataset, "reseed"):
+            dataset.reseed(epoch, wid)
+        for bi in range(wid, len(batches), K):
+            samples = [dataset[i] for i in batches[bi]]
+            out_q.put((bi, collate(samples)))
+        out_q.put((-1, wid))
+    except BaseException as e:  # noqa: BLE001 - re-raised by the parent
+        out_q.put((-2, repr(e)))
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, num_workers: int = 8, drop_last: bool = True,
                  prefetch: int = 2, process_index: int = 0,
                  process_count: int = 1,
-                 collate: Callable = default_collate):
+                 collate: Callable = default_collate,
+                 mp_workers: int = 0, mp_context: str = "spawn"):
+        """mp_workers > 0 switches the producer from the in-process thread
+        pool to `mp_workers` forked WORKER PROCESSES (the torch
+        DataLoader(num_workers=16) equivalent for GIL-bound feeders):
+        worker w builds whole batches w, w+K, ... and ships them over a
+        bounded mp.Queue; the consumer restores deterministic batch
+        order. Stateful per-sample RNG follows torch worker semantics
+        via the optional dataset `reseed(epoch, worker_id)` protocol —
+        each worker gets an independent, per-epoch-deterministic stream,
+        so augmentation draws differ from thread mode (exactly as
+        changing torch num_workers does) but are reproducible
+        run-to-run and across preemption resume."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,6 +77,13 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.collate = collate
+        self.mp_workers = max(0, mp_workers)
+        # 'spawn' (default) is safe after the JAX/TPU client initialized
+        # (forking a threaded process risks malloc/mutex deadlocks in the
+        # child); workers re-import + unpickle the dataset (native
+        # tokenizer handles re-attach lazily). 'fork' skips the ~seconds
+        # of per-epoch worker startup where the parent is single-threaded.
+        self.mp_context = mp_context
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -85,6 +119,9 @@ class DataLoader:
         batches = [idx[i:i + self.batch_size]
                    for i in range(0, len(idx), self.batch_size)]
         if not batches:
+            return
+        if self.mp_workers > 0:
+            yield from self._iter_processes(batches)
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -126,3 +163,47 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+    def _iter_processes(self, batches) -> Iterator[Dict[str, np.ndarray]]:
+        """Multi-process producer (see __init__ docstring). Workers never
+        touch JAX; batch payloads move through an mp.Queue pipe — on
+        many-core production hosts K scales the decode/augment/tokenize
+        aggregate (measured in tools/bench_feeder_scaling.py) while the
+        pipe cost stays one memcpy of the batch bytes."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context(self.mp_context)
+        K = self.mp_workers
+        out_q = ctx.Queue(maxsize=max(2, self.prefetch))
+        procs = [ctx.Process(target=_mp_worker,
+                             args=(self.dataset, batches, K, w, self.epoch,
+                                   out_q, self.collate), daemon=True)
+                 for w in range(K)]
+        for p in procs:
+            p.start()
+        try:
+            buffered: Dict[int, Dict[str, np.ndarray]] = {}
+            nxt, done = 0, 0
+            while nxt < len(batches):
+                if nxt in buffered:
+                    yield buffered.pop(nxt)
+                    nxt += 1
+                    continue
+                if done == K:
+                    raise RuntimeError(
+                        f"DataLoader processes exited early: batch {nxt} "
+                        f"of {len(batches)} never arrived")
+                tag, payload = out_q.get()
+                if tag == -1:
+                    done += 1
+                elif tag == -2:
+                    raise RuntimeError(
+                        f"DataLoader worker process failed: {payload}")
+                else:
+                    buffered[tag] = payload
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+            out_q.close()

@@ -132,6 +132,14 @@ class WordPieceTokenizer:
                 tokens.extend(self.wordpiece(word))
         return tokens
 
+    def __getstate__(self):
+        """Picklable across process boundaries (DataLoader mp_workers
+        with the 'spawn' context): the ctypes-backed native handle is
+        dropped and re-attached lazily in the child (enable_native)."""
+        state = self.__dict__.copy()
+        state["_native"] = None
+        return state
+
     def enable_native(self) -> bool:
         """Attach the C++ fast path (exact parity on ASCII inputs;
         non-ASCII strings transparently fall back to Python)."""

@@ -69,8 +69,13 @@ class BertSelfAttention(nn.Module):
         b, nq = hidden.shape[0], hidden.shape[1]
         nk = kv.shape[1]
 
+        # constrain_heads: under a dp x tp mesh pin heads to the model
+        # axis (no-op otherwise) — see core/mesh.py TP constraints
+        from ..core.mesh import constrain_heads
+
         def split(x, n):
-            return jnp.transpose(x.reshape(b, n, h, hd), (0, 2, 1, 3))
+            return constrain_heads(
+                jnp.transpose(x.reshape(b, n, h, hd), (0, 2, 1, 3)))
 
         q = split(Dense(d, dtype=self.dtype, name="query")(hidden), nq)
         k = split(Dense(d, dtype=self.dtype, name="key")(kv), nk)
@@ -96,6 +101,8 @@ class BertSelfAttention(nn.Module):
         probs = None
         if return_probs:
             out, probs = out
+        else:
+            out = constrain_heads(out)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, nq, d)
         out = Dropout(c.attention_probs_dropout_prob)(
             out, deterministic=deterministic)

@@ -110,8 +110,15 @@ class Attention(nn.Module):
                     name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, hd)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # under a dp x tp mesh, pin heads to the model axis (no-op
+        # otherwise) — stops GSPMD involuntary full rematerialization
+        from ..core.mesh import constrain_heads
+
+        q, k, v = (constrain_heads(qkv[0]), constrain_heads(qkv[1]),
+                   constrain_heads(qkv[2]))
         out = dot_product_attention(q, k, v, return_probs=return_probs)
+        if not return_probs:
+            out = constrain_heads(out)
         probs = None
         if return_probs:
             out, probs = out

@@ -82,7 +82,9 @@ class ClassificationTask:
             upd = state.step // max(1, self.cfg.optimizer.accum_steps)
             return new_state, {"loss": loss, "lr": self.schedule(upd)}
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        from ..core.mesh import tp_scoped_jit
+
+        return tp_scoped_jit(self.mesh, step_fn, donate_argnums=(0,))
 
     def train_step(self, state, images, labels):
         if self._train_step is None:
@@ -94,7 +96,9 @@ class ClassificationTask:
             return self.model.apply({"params": params}, images,
                                     deterministic=True)
 
-        return jax.jit(eval_fn)
+        from ..core.mesh import tp_scoped_jit
+
+        return tp_scoped_jit(self.mesh, eval_fn)
 
     def eval_step(self, state, images):
         if self._eval_step is None:

@@ -104,7 +104,9 @@ class DetectionTask:
             metrics = dict(parts, loss=loss, lr=self.schedule(upd))
             return new_state, metrics
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        from ..core.mesh import tp_scoped_jit
+
+        return tp_scoped_jit(self.mesh, step_fn, donate_argnums=(0,))
 
     def train_step(self, state, images, targets):
         if self._train_step is None:
@@ -121,7 +123,9 @@ class DetectionTask:
                        for i, o in enumerate(outs)]
             return jnp.concatenate(decoded, axis=1)
 
-        return jax.jit(eval_fn)
+        from ..core.mesh import tp_scoped_jit
+
+        return tp_scoped_jit(self.mesh, eval_fn)
 
     def eval_step(self, state, images) -> np.ndarray:
         if self._eval_step is None:

@@ -169,7 +169,9 @@ class PretrainTask:
         def step_fn(state: TrainState, batch, rng):
             return self._step_body(state, batch, rng, oc)
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        from ..core.mesh import tp_scoped_jit
+
+        return tp_scoped_jit(self.mesh, step_fn, donate_argnums=(0,))
 
     def make_train_step_scan(self, state: TrainState = None):
         """K optimizer steps per dispatch via lax.scan over a (K, B, ...)
@@ -179,6 +181,8 @@ class PretrainTask:
         Metrics come back stacked (K,) per key. The production lever for
         dispatch-latency-dominated links (remote/tunneled accelerators);
         --steps_per_call in the pretrain CLI."""
+        from ..core.mesh import tp_scoped_jit
+
         oc = self._out_constraint(state)
 
         def scan_fn(state: TrainState, batches, rng):
@@ -187,7 +191,7 @@ class PretrainTask:
 
             return jax.lax.scan(body, state, batches)
 
-        return jax.jit(scan_fn, donate_argnums=(0,))
+        return tp_scoped_jit(self.mesh, scan_fn, donate_argnums=(0,))
 
     def train_step(self, state, batch, rng):
         if self._train_step is None:

@@ -126,7 +126,9 @@ class SegmentationTask:
             upd = state.step // max(1, self.cfg.optimizer.accum_steps)
             return new_state, {"loss": loss, "lr": self.schedule(upd)}
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        from ..core.mesh import tp_scoped_jit
+
+        return tp_scoped_jit(self.mesh, step_fn, donate_argnums=(0,))
 
     def train_step(self, state, images, masks):
         if self._train_step is None:
@@ -142,7 +144,9 @@ class SegmentationTask:
                 return jax.nn.sigmoid(out[0]), jax.nn.sigmoid(out[1])
             return jax.nn.sigmoid(out)
 
-        return jax.jit(eval_fn)
+        from ..core.mesh import tp_scoped_jit
+
+        return tp_scoped_jit(self.mesh, eval_fn)
 
     def eval_step(self, state, images):
         if self._eval_step is None:

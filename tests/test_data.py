@@ -363,3 +363,108 @@ def test_multilabel_auc_single_class_column_is_nan():
     labels = np.array([[0, 1], [0, 0], [0, 1]])  # col 0 has no positives
     aucs = multilabel_auc(scores, labels)
     assert np.isnan(aucs[0]) and 0.0 <= aucs[1] <= 1.0
+
+
+class _IdxDataset:
+    """Deterministic toy dataset for loader-order tests."""
+
+    def __init__(self, n, delay_on=()):
+        self.n = n
+        self.delay_on = set(delay_on)
+        self.reseeds = []
+
+    def reseed(self, epoch, worker_id):
+        self.reseeds.append((epoch, worker_id))
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if i in self.delay_on:
+            import time
+
+            time.sleep(0.05)
+        return {"x": np.array([i], np.int64)}
+
+
+def test_mp_loader_matches_thread_order_and_content():
+    """mp_workers>0: forked worker processes build whole batches; the
+    consumer restores deterministic batch order, so index streams equal
+    the thread loader's exactly (slow early batches included)."""
+    from ecamp_tpu.data.loader import DataLoader
+
+    ds = _IdxDataset(37, delay_on={0, 1, 2, 3})
+    kw = dict(batch_size=5, shuffle=True, seed=3, drop_last=True)
+    ref = [b["x"].ravel().tolist()
+           for b in DataLoader(ds, num_workers=2, **kw)]
+    got = [b["x"].ravel().tolist()
+           for b in DataLoader(ds, mp_workers=3, **kw)]
+    assert got == ref and len(got) == 7
+
+
+class _BadDataset(_IdxDataset):
+    """Module-level (spawn-picklable) dataset that fails on one index."""
+
+    def __getitem__(self, i):
+        if i == 7:
+            raise ValueError("boom7")
+        return super().__getitem__(i)
+
+
+def test_mp_loader_worker_failure_propagates():
+    from ecamp_tpu.data.loader import DataLoader
+
+    loader = DataLoader(_BadDataset(16), batch_size=4, shuffle=False,
+                        mp_workers=2)
+    with pytest.raises(RuntimeError, match="boom7"):
+        list(loader)
+
+
+def test_mp_loader_reseed_protocol(tmp_path):
+    """Each forked worker reseeds per (epoch, worker); two iterations of
+    the same epoch produce IDENTICAL batches (preemption-resume replay),
+    different epochs differ."""
+    import csv
+    import shutil
+
+    from PIL import Image
+
+    from ecamp_tpu.data.datasets import PretrainReportDataset
+    from ecamp_tpu.data.loader import DataLoader
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(0)
+    with open(os.path.join(root, "mimic-cxr-2.0.0-entity-llm.csv"), "w",
+              newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["img_path", "report", "llm_output"])
+        for i in range(8):
+            p = os.path.join(root, f"i{i}.png")
+            Image.fromarray(rng.integers(0, 255, (64, 64), np.uint8),
+                            "L").save(p)
+            w.writerow([p, "lungs are clear. no pneumothorax.",
+                        "no acute disease."])
+    with open(os.path.join(root, "mimic-cxr-2.0.0-attn-label.csv"), "w",
+              newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["label_i", "label_j"])
+        for _ in range(8):
+            w.writerow([1, 1])
+    shutil.copy(os.path.join(os.path.dirname(__file__), "..", "ecamp_tpu",
+                             "assets", "mimic_wordpiece.json"), root)
+    ds = PretrainReportDataset(root, img_size=32, max_caption_length=16,
+                               seed=0)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0,
+                        mp_workers=2)
+    loader.set_epoch(1)
+    a = [{k: np.asarray(v) for k, v in b.items()} for b in loader]
+    b = [{k: np.asarray(v) for k, v in b.items()} for b in loader]
+    assert len(a) == len(b) == 2
+    for ba, bb in zip(a, b):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+    loader.set_epoch(2)
+    c = list(loader)
+    assert not all(
+        np.array_equal(np.asarray(a[i]["image"]),
+                       np.asarray(c[i]["image"])) for i in range(2))

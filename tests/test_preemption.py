@@ -197,3 +197,77 @@ def test_cls_preempt_resume(toy_cls_data, tmp_path, monkeypatch, capsys):
     log = (out / "log.txt").read_text().strip().splitlines()
     test_rec = json.loads(log[-1])["test"]
     assert test_rec["auc"] == pytest.approx(ref_test["auc"], abs=1e-6)
+
+
+from test_cli_seg_det import toy_rsna_det, toy_siim  # noqa: F401, E402
+
+
+def _tiny_seg(monkeypatch, data, out):
+    from ecamp_tpu.cli import finetune_seg
+
+    argv = ["finetune_seg", "--task", "SIIM",
+            "--dataset_path", str(data / "imgs"),
+            "--list_path", str(data / "lists"),
+            "--img_size", "64", "--model", "tiny",
+            "--batch_size", "2", "--eval_batch_size", "2",
+            "--num_steps", "6", "--warmup_steps", "1",
+            "--num_workers", "2", "--output_dir", str(out), "--no_bf16"]
+    monkeypatch.setattr(sys, "argv", argv)
+    finetune_seg.main()
+
+
+def _tiny_det(monkeypatch, data, out):
+    from ecamp_tpu.cli import finetune_det
+
+    argv = ["finetune_det",
+            "--dataset_path", str(data / "imgs"),
+            "--list_path", str(data / "lists"),
+            "--img_size", "64", "--model", "tiny",
+            "--batch_size", "2", "--eval_batch_size", "2",
+            "--num_steps", "4", "--warmup_steps", "1", "--start_eval", "1",
+            "--num_workers", "2", "--output_dir", str(out), "--no_bf16"]
+    monkeypatch.setattr(sys, "argv", argv)
+    finetune_det.main()
+
+
+def _preempt_roundtrip(run, data, tmp_path, monkeypatch, capsys,
+                       final_marker, metric_key):
+    """Shared drill: reference run, preempt @ micro 3 (mid-epoch with
+    2 micro-steps/epoch), resume, compare final test metric."""
+    ref_out = tmp_path / "ref"
+    run(monkeypatch, data, ref_out)
+    ref_log = (ref_out / "log.txt").read_text().strip().splitlines()
+    ref_test = json.loads(ref_log[-1])[metric_key]
+
+    out = tmp_path / "pre"
+    monkeypatch.setenv("ECAMP_PREEMPT_AT_STEP", "3")
+    run(monkeypatch, data, out)
+    monkeypatch.delenv("ECAMP_PREEMPT_AT_STEP")
+    msg = capsys.readouterr().out
+    assert "preemption checkpoint saved @ micro 3" in msg
+    assert (out / "preempt").exists()
+    assert final_marker not in msg.split("preemption checkpoint")[-1]
+
+    run(monkeypatch, data, out)
+    msg = capsys.readouterr().out
+    assert "resuming from preemption checkpoint: micro 3" in msg
+    assert final_marker in msg
+    assert not (out / "preempt").exists()  # cleaned after completion
+
+    log = (out / "log.txt").read_text().strip().splitlines()
+    assert json.loads(log[-1])[metric_key] == pytest.approx(ref_test,
+                                                            abs=1e-6)
+
+
+def test_seg_preempt_resume(toy_siim, tmp_path, monkeypatch, capsys):
+    """Segmentation fine-tune preemption drill: interrupt at micro 3
+    (epoch 1 of 3, mid-epoch skip exercised), resume, final test dice
+    equal to an uninterrupted run (batch_stats included in the state)."""
+    _preempt_roundtrip(_tiny_seg, toy_siim, tmp_path, monkeypatch, capsys,
+                       "TEST dice", "test_dice")
+
+
+def test_det_preempt_resume(toy_rsna_det, tmp_path, monkeypatch, capsys):
+    """Detection fine-tune preemption drill (same contract as seg)."""
+    _preempt_roundtrip(_tiny_det, toy_rsna_det, tmp_path, monkeypatch,
+                       capsys, "TEST mAP", "test_map")

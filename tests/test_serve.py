@@ -327,3 +327,54 @@ def test_int8_classifier_engine_via_loader():
     pf, pq = fp(x), q8(x)
     assert pf.shape == pq.shape == (4, 3)
     np.testing.assert_allclose(pq, pf, atol=2e-2)
+
+
+@pytest.mark.slow
+def test_int8_engine_auc_budget(tmp_path):
+    """`--quantize int8` carries a QUANTIFIED accuracy claim: on the
+    synthetic-learnable brightness task a trained tiny classifier served
+    int8 keeps AUC within 0.01 of the fp engine (README serving note).
+    Complements the probability-tracking assertion above with a
+    metric-level one."""
+    from ecamp_tpu.ckpt import save_checkpoint
+    from ecamp_tpu.ckpt.orbax_io import wait_for_saves
+    from ecamp_tpu.train.eval_metrics import multilabel_auc
+    from ecamp_tpu.serve.loaders import classifier_engine
+    from ecamp_tpu.train.classification import ClassificationTask
+
+    rng = np.random.default_rng(0)
+
+    def make(n):
+        y = rng.integers(0, 2, n).astype(np.float32)
+        x = rng.normal(0, 1, (n, 32, 32, 3)).astype(np.float32)
+        x += (y * 2 - 1)[:, None, None, None] * 0.5  # brightness signal
+        return x, y
+
+    ccfg = cfg.ClassificationConfig(
+        vit=TINY, num_classes=1, is_multilabel=True,
+        optimizer=cfg.OptimizerConfig(name="sgd", lr=0.05, momentum=0.9,
+                                      schedule="constant"),
+        bf16=False, seed=0)
+    task = ClassificationTask(ccfg)
+    state = task.init_state(jax.random.PRNGKey(0))
+    xtr, ytr = make(128)
+    for s in range(40):
+        i = (s * 16) % 128
+        state, _ = task.train_step(state, jnp.asarray(xtr[i:i + 16]),
+                                   jnp.asarray(ytr[i:i + 16, None]))
+    ck = str(tmp_path / "best")
+    save_checkpoint(ck, 40, {"params": jax.device_get(state.params)})
+    wait_for_saves(ck)
+
+    xte, yte = make(256)
+
+    def auc(probs):
+        return float(multilabel_auc(np.asarray(probs),
+                                    yte[:, None])[0])
+
+    kw = dict(num_classes=1, img_size=32, vit=TINY, buckets=(32,),
+              bf16=False)
+    auc_fp = auc(classifier_engine(ck, **kw)(xte))
+    auc_q = auc(classifier_engine(ck, quantize="int8", **kw)(xte))
+    assert auc_fp > 0.9, f"task did not train (fp AUC {auc_fp:.3f})"
+    assert abs(auc_fp - auc_q) <= 0.01, (auc_fp, auc_q)
