@@ -238,7 +238,12 @@ def main():
 
     # test phase: reload best, per-class report (train.py:267-361)
     from ..ckpt import latest_step, restore_checkpoint
+    from ..ckpt.orbax_io import wait_for_saves
 
+    # drain any in-flight async best-ckpt save before the test
+    # phase scans the directory (same race the burn-in drill
+    # caught in the pretrain CLI)
+    wait_for_saves(ckpt_dir)
     best = latest_step(ckpt_dir)
     if best is not None:
         restored = restore_checkpoint(ckpt_dir, best,

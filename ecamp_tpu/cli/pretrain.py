@@ -309,6 +309,14 @@ def main():
                              "step": int(state.step)})
             if jax.process_index() == 0:
                 print(f"saved checkpoint @ epoch {epoch}")
+    # drain async orbax saves BEFORE interpreter teardown: exiting right
+    # after the final cadence save used to leave a half-written
+    # <step>.orbax-checkpoint-tmp and a "cannot schedule new futures
+    # after interpreter shutdown" spray from orbax's commit threads
+    # (caught by the round-4 burn-in drill on a tiny corpus)
+    from ..ckpt.orbax_io import wait_for_saves
+
+    wait_for_saves(ckpt_dir)
 
 
 if __name__ == "__main__":

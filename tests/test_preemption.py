@@ -271,3 +271,49 @@ def test_det_preempt_resume(toy_rsna_det, tmp_path, monkeypatch, capsys):
     """Detection fine-tune preemption drill (same contract as seg)."""
     _preempt_roundtrip(_tiny_det, toy_rsna_det, tmp_path, monkeypatch,
                        capsys, "TEST mAP", "test_map")
+
+
+def test_pretrain_cli_exit_leaves_no_tmp_checkpoint(toy_mimic32, tmp_path):
+    """Exiting right after the final cadence save used to leave a
+    half-written <step>.orbax-checkpoint-tmp (async save vs interpreter
+    teardown — caught by the round-4 burn-in drill). The CLI now drains
+    saves before returning; a SUBPROCESS run (in-process managers would
+    mask the race) must leave only complete checkpoints."""
+    import subprocess
+
+    out = tmp_path / "out"
+    script = f"""
+import sys
+sys.argv = ["pretrain", "--data_path", {str(toy_mimic32)!r},
+            "--batch_size", "8", "--epochs", "2", "--max_epoch", "4",
+            "--warmup_epochs", "1", "--input_size", "64",
+            "--max_caption_length", "16", "--num_workers", "0",
+            "--output_dir", {str(out)!r}, "--no_bf16", "--print_freq", "1"]
+from ecamp_tpu.core import config as cfg
+tiny_kw = dict(
+    vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                      num_heads=2),
+    decoder=cfg.MAEDecoderConfig(embed_dim=16, depth=1, num_heads=2),
+    bert=cfg.BertConfig(vocab_size=32, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=64,
+                        max_position_embeddings=16),
+    sr_window=1, max_caption_length=16)
+orig = cfg.PretrainConfig
+def tiny(**kw):
+    merged = dict(tiny_kw)
+    merged.update({{k: v for k, v in kw.items() if k not in merged}})
+    return orig(**merged)
+cfg.PretrainConfig = tiny
+from ecamp_tpu.cli import pretrain
+pretrain.cfg.PretrainConfig = tiny
+pretrain.main()
+"""
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ck = out / "ckpt"
+    tmps = [p.name for p in ck.iterdir() if "tmp" in p.name]
+    assert not tmps, f"incomplete checkpoints left behind: {tmps}"
+    steps = sorted(int(p.name) for p in ck.iterdir())
+    assert steps == [4, 8]  # epoch-0 and final-epoch cadence saves
+    assert "cannot schedule new futures" not in proc.stderr

@@ -109,9 +109,12 @@ def run_cli(out_dir: str, corpus: str, batch: int, epochs: int,
     logpath = os.path.join(out_dir, f"{log_name}.log")
     os.makedirs(out_dir, exist_ok=True)
     sit, epochs_done, terminated = [], 0, False
+    env = dict(os.environ, PYTHONUNBUFFERED="1")  # line-latency matters:
+    # the SIGTERM drill triggers off parsed epoch lines
     with open(logpath, "w") as logf:
         proc = subprocess.Popen(argv, cwd=REPO, stdout=subprocess.PIPE,
-                                stderr=subprocess.STDOUT, text=True)
+                                stderr=subprocess.STDOUT, text=True,
+                                env=env)
         for line in proc.stdout:
             logf.write(line)
             m = _SIT_RE.search(line)
