@@ -117,6 +117,8 @@ def run_cli(out_dir: str, corpus: str, batch: int, epochs: int,
                                 env=env)
         for line in proc.stdout:
             logf.write(line)
+            logf.flush()  # keep the on-disk log live: a crashed driver
+            # must not take the child's output with it
             m = _SIT_RE.search(line)
             if m:
                 sit.append((int(m.group(1)), float(m.group(3))))

@@ -1,0 +1,124 @@
+"""Rebuild BENCH_BURNIN.json from an (even partially) completed
+tools/burnin.py work directory.
+
+burnin.py only writes the artifact after all three phases; if the driver
+dies (or the round clock cuts phase 3), the raw evidence is still on
+disk — phase logs, the run's JSONL, orbax checkpoints. This script
+re-derives the same artifact from that state:
+
+  python tools/burnin_harvest.py [--work /tmp/ecamp_burnin] [--steps 2000]
+
+Bitwise comparison runs only if both the interrupted+resumed run and the
+reference run have the shared cadence checkpoint (epoch 60) on disk;
+otherwise the artifact records "bitwise": {"status": "pending"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SIT_RE = re.compile(r"Epoch \[(\d+)\].*Total time: ([0-9.]+)s "
+                     r"\(([0-9.]+) s/it\)")
+_PRE_RE = re.compile(r"preemption checkpoint saved @ step (\d+)")
+
+
+def parse_phase(path: str):
+    if not os.path.exists(path):
+        return [], None
+    with open(path) as f:
+        text = f.read()
+    sit = [(int(e), float(s)) for e, _, s in _SIT_RE.findall(text)]
+    m = _PRE_RE.search(text)
+    return sit, (int(m.group(1)) if m else None)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/ecamp_burnin")
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=104)
+    ap.add_argument("--steps_per_epoch", type=int, default=20)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_BURNIN.json"))
+    args = ap.parse_args()
+
+    run = os.path.join(args.work, "run")
+    ref = os.path.join(args.work, "ref")
+    p1, preempt_step = parse_phase(os.path.join(run, "phase1.log"))
+    p2, _ = parse_phase(os.path.join(run, "phase2.log"))
+    result = {"batch": args.batch, "steps_target": args.steps,
+              "steps_per_epoch": args.steps_per_epoch,
+              "epochs": -(-args.steps // args.steps_per_epoch),
+              "harvested": True}
+    result["drill"] = {"sigterm_delivered": preempt_step is not None,
+                       "preempt_step": preempt_step,
+                       "epochs_before": len(p1)}
+
+    sit_all = sorted(p1 + p2)
+    result["steps_completed"] = (len({e for e, _ in sit_all})
+                                 * args.steps_per_epoch)
+    if sit_all:
+        k = min(10, max(1, len(sit_all) // 4))
+        first = float(np.median([s for _, s in sit_all[:k]]))
+        last = float(np.median([s for _, s in sit_all[-k:]]))
+        result["step_time"] = {
+            "first_window_s_it": round(first, 4),
+            "last_window_s_it": round(last, 4),
+            "drift_pct": round(100.0 * (last - first) / first, 2),
+            "all_epochs": [[e, s] for e, s in sit_all]}
+
+    logpath = os.path.join(run, "log.txt")
+    records = []
+    if os.path.exists(logpath):
+        with open(logpath) as f:
+            records = [json.loads(ln) for ln in f if ln.strip()]
+    losses = [{kk: r.get(kk) for kk in
+               ("epoch", "loss", "mim_loss", "res_loss", "mlm_loss")}
+              for r in records]
+    result["epochs_logged"] = len(records)
+    result["loss_first"] = losses[0] if losses else None
+    result["loss_mid"] = losses[len(losses) // 2] if losses else None
+    result["loss_last"] = losses[-1] if losses else None
+    result["loss_monotone_frac"] = (
+        round(float(np.mean(np.diff([r["loss"] for r in losses]) < 0)), 3)
+        if len(losses) > 1 else None)
+    result["max_mem_mb"] = max((r.get("max_mem_mb", 0.0) or 0.0)
+                               for r in records) if records else 0.0
+
+    shared_step = (60 + 1) * args.steps_per_epoch
+    have = all(os.path.isdir(os.path.join(d, "ckpt", str(shared_step)))
+               for d in (run, ref))
+    if have:
+        from burnin import compare_ckpts  # same directory
+
+        result["bitwise"] = compare_ckpts(
+            os.path.join(run, "ckpt"), os.path.join(ref, "ckpt"),
+            shared_step)
+        result["bitwise"]["ok"] = (
+            result["bitwise"]["n_param_mismatch"] == 0
+            and result["bitwise"]["n_opt_mismatch"] == 0)
+    else:
+        result["bitwise"] = {
+            "status": "pending",
+            "note": f"shared cadence ckpt {shared_step} absent from one "
+                    "of run/ref; small-scale bitwise resume is covered by "
+                    "tests/test_preemption.py::test_pretrain_preempt_resume"}
+
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    brief = {kk: vv for kk, vv in result.items() if kk != "step_time"}
+    if "step_time" in result:
+        brief["step_time_drift_pct"] = result["step_time"]["drift_pct"]
+    print(json.dumps(brief, indent=2))
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
