@@ -304,6 +304,15 @@ def cpu_test_mesh(n: int = 8) -> Mesh:
 # axis. The constraint is a no-op unless tracing happens inside
 # `tp_constraint_scope` of a mesh whose model axis is >1, so single-chip
 # and pure-DP paths compile byte-identical programs.
+#
+# FSDP (shard_params over 'data', ZeRO-3) hits the mirror image of the
+# same GSPMD failure mode: the data-axis-sharded qkv kernel propagates a
+# weight-derived sharding into the attention intermediates, which then
+# collides with the batch sharding at the softmax (12 involuntary-remat
+# warnings on blocks_*/attn in the 8-device dryrun). There the right
+# constraint is batch-only — P(data) on dim 0 — which tells GSPMD to
+# all-gather the weights (standard ZeRO-3 semantics) and keep activations
+# batch-sharded. `batch_only=True` activates that mode.
 
 import contextvars as _contextvars
 
@@ -312,18 +321,23 @@ _TP_MESH: "_contextvars.ContextVar" = _contextvars.ContextVar(
 
 
 class tp_constraint_scope:
-    """Context manager activating head-dim sharding constraints inside
-    attention modules for any jit TRACE performed within it."""
+    """Context manager activating attention sharding constraints inside
+    attention modules for any jit TRACE performed within it.
 
-    def __init__(self, mesh: Optional[Mesh]):
-        active = (mesh is not None and len(mesh.axis_names) >= 2
-                  and mesh.shape[mesh.axis_names[1]] > 1)
+    Head-dim (P(data, model)) when the mesh has a model axis > 1;
+    batch-only (P(data)) when `batch_only` is set (the FSDP layout)."""
+
+    def __init__(self, mesh: Optional[Mesh], batch_only: bool = False):
+        tp_active = (mesh is not None and len(mesh.axis_names) >= 2
+                     and mesh.shape[mesh.axis_names[1]] > 1)
+        active = tp_active or (mesh is not None and batch_only)
         self.mesh = mesh if active else None
+        self.batch_only = batch_only and not tp_active
         self._token = None
 
     def __enter__(self):
         if self.mesh is not None:
-            self._token = _TP_MESH.set(self.mesh)
+            self._token = _TP_MESH.set((self.mesh, self.batch_only))
         return self
 
     def __exit__(self, *exc):
@@ -336,29 +350,39 @@ class tp_constraint_scope:
 def constrain_heads(x):
     """Pin a (B, H, N, D) attention intermediate to P(data, model) when a
     tp_constraint_scope is active and the head count divides the model
-    axis; identity otherwise (single chip, pure DP, probs-returning viz
-    path, head counts that don't tile)."""
-    mesh = _TP_MESH.get()
-    if mesh is None or x.ndim != 4:
+    axis — or to batch-only P(data) in an FSDP scope; identity otherwise
+    (single chip, pure DP, probs-returning viz path, head counts that
+    don't tile)."""
+    scope = _TP_MESH.get()
+    if scope is None or x.ndim != 4:
         return x
-    d_ax, m_ax = mesh.axis_names[:2]
+    mesh, batch_only = scope
+    d_ax = mesh.axis_names[0]
+    if x.shape[0] % mesh.shape[d_ax] != 0:
+        return x
+    if batch_only:
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(d_ax, None, None, None)))
+    m_ax = mesh.axis_names[1]
     if x.shape[1] % mesh.shape[m_ax] != 0:
         return x
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(d_ax, m_ax, None, None)))
 
 
-def tp_scoped_jit(mesh: Mesh, fn, **jit_kwargs):
+def tp_scoped_jit(mesh: Mesh, fn, batch_only: bool = False, **jit_kwargs):
     """jax.jit whose (lazy, first-call) trace runs inside
     tp_constraint_scope(mesh). Returns the bare jit when the mesh has no
-    model axis — zero per-call overhead on the common path."""
+    model axis and no FSDP layout — zero per-call overhead on the common
+    path."""
     jitted = jax.jit(fn, **jit_kwargs)
-    if len(mesh.axis_names) < 2 or mesh.shape[mesh.axis_names[1]] <= 1:
+    if not batch_only and (len(mesh.axis_names) < 2
+                           or mesh.shape[mesh.axis_names[1]] <= 1):
         return jitted
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with tp_constraint_scope(mesh):
+        with tp_constraint_scope(mesh, batch_only=batch_only):
             return jitted(*args, **kwargs)
 
     return wrapped

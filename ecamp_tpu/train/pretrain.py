@@ -171,7 +171,9 @@ class PretrainTask:
 
         from ..core.mesh import tp_scoped_jit
 
-        return tp_scoped_jit(self.mesh, step_fn, donate_argnums=(0,))
+        return tp_scoped_jit(self.mesh, step_fn,
+                             batch_only=self.cfg.mesh.shard_params,
+                             donate_argnums=(0,))
 
     def make_train_step_scan(self, state: TrainState = None):
         """K optimizer steps per dispatch via lax.scan over a (K, B, ...)
@@ -191,7 +193,9 @@ class PretrainTask:
 
             return jax.lax.scan(body, state, batches)
 
-        return tp_scoped_jit(self.mesh, scan_fn, donate_argnums=(0,))
+        return tp_scoped_jit(self.mesh, scan_fn,
+                             batch_only=self.cfg.mesh.shard_params,
+                             donate_argnums=(0,))
 
     def train_step(self, state, batch, rng):
         if self._train_step is None:
