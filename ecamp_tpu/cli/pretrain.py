@@ -68,6 +68,12 @@ def get_args():
                         "the data mesh axis; GSPMD all-gathers weights at "
                         "their use sites and reduce-scatters grads — "
                         "per-chip params+grads+moments memory becomes 1/N")
+    p.add_argument("--rss_limit_gb", type=float, default=0.0,
+                   help="host-RSS watchdog: when this process's RSS "
+                        "crosses the limit, checkpoint at the exact step "
+                        "and exit cleanly (resumable) instead of risking "
+                        "an OOM SIGKILL; 0 disables. Also settable as "
+                        "ECAMP_RSS_LIMIT_GB for all CLIs.")
     return p.parse_args()
 
 
@@ -178,7 +184,8 @@ def main():
     from ..core.mesh import prefetch_to_device
     from ..core.preemption import PreemptionGuard
 
-    guard = PreemptionGuard()
+    guard = PreemptionGuard(
+        rss_limit_mb=args.rss_limit_gb * 1024.0 if args.rss_limit_gb else None)
     host_step = int(state.step)
     preempted = False
     scan_k = max(1, args.steps_per_call)
@@ -283,7 +290,8 @@ def main():
                              "step": host_step}, block=True)
             if jax.process_index() == 0:
                 print(f"preemption checkpoint saved @ step {host_step} "
-                      f"(epoch {epoch}); resume with --resume {ckpt_dir}")
+                      f"(epoch {epoch}); resume with --resume {ckpt_dir}"
+                      + (f" [{guard.reason}]" if guard.reason else ""))
             return
         logger.synchronize_between_processes()
         from ..core.metrics import device_memory_mb

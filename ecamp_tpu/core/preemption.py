@@ -24,6 +24,16 @@ boundaries the check is a flag read — no per-step host collective.
 Fault injection (§5.3): `ECAMP_PREEMPT_AT_STEP=N` arms a synthetic
 preemption at optimizer step N, exercising the full save/exit/resume
 path deterministically in tests and drills.
+
+Host-RSS watchdog: `ECAMP_RSS_LIMIT_GB=G` (or the rss_limit_mb ctor arg)
+treats host RSS crossing the limit like a preemption notice — the loop
+checkpoints at the exact step and exits cleanly instead of being
+SIGKILLed by the kernel OOM killer and losing everything since the last
+cadence save. Motivation: any unbounded host-memory growth (leaky
+feeder, fragmenting allocator — and concretely the jaxlib-0.9.0
+per-transfer host-buffer leak documented in DESIGN.md "host RSS leak")
+turns a multi-hour run into an OOM kill; bounded-RSS checkpoint-restart
+makes it a sequence of clean resumable segments.
 """
 
 from __future__ import annotations
@@ -39,12 +49,18 @@ class PreemptionGuard:
     """Polls for a preemption request; cheap enough to call every step."""
 
     def __init__(self, sync_every: int = 50,
-                 signals: Sequence[int] = (signal.SIGTERM,)):
+                 signals: Sequence[int] = (signal.SIGTERM,),
+                 rss_limit_mb: Optional[float] = None):
         self.sync_every = max(1, int(sync_every))
         self._flag = False
         self._installed = []
+        self.reason: Optional[str] = None
         env = os.environ.get("ECAMP_PREEMPT_AT_STEP", "")
         self._preempt_at: Optional[int] = int(env) if env else None
+        if rss_limit_mb is None:
+            genv = os.environ.get("ECAMP_RSS_LIMIT_GB", "")
+            rss_limit_mb = float(genv) * 1024.0 if genv else 0.0
+        self.rss_limit_mb = float(rss_limit_mb or 0.0)
         for sig in signals:
             try:
                 prev = signal.signal(sig, self._on_signal)
@@ -66,10 +82,31 @@ class PreemptionGuard:
         """This host's local view (signal or injected fault)."""
         return self._flag
 
+    @staticmethod
+    def host_rss_mb() -> float:
+        try:
+            with open("/proc/self/status") as f:
+                for ln in f:
+                    if ln.startswith("VmRSS"):
+                        return int(ln.split()[1]) / 1024.0
+        except OSError:  # pragma: no cover - non-procfs platform
+            pass
+        return 0.0
+
     def _local(self, step: int) -> bool:
         if self._preempt_at is not None and step >= self._preempt_at:
+            self.reason = self.reason or f"injected @ {self._preempt_at}"
             return True
-        return self._flag
+        if self._flag:
+            self.reason = self.reason or "signal"
+            return True
+        if self.rss_limit_mb > 0:
+            rss = self.host_rss_mb()
+            if rss > self.rss_limit_mb:
+                self.reason = (f"host RSS {rss:.0f} MB > limit "
+                               f"{self.rss_limit_mb:.0f} MB")
+                return True
+        return False
 
     def should_save(self, step: int) -> bool:
         """True when training must checkpoint-and-exit at `step`.

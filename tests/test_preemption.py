@@ -73,6 +73,26 @@ def test_guard_fault_injection_env(monkeypatch):
         guard.uninstall()
 
 
+def test_guard_rss_watchdog():
+    """rss_limit_mb: crossing the host-RSS limit reads as a preemption
+    request (reason recorded); an un-crossable limit never triggers."""
+    from ecamp_tpu.core.preemption import PreemptionGuard
+
+    guard = PreemptionGuard(rss_limit_mb=1.0)  # any process exceeds 1 MB
+    try:
+        assert guard.host_rss_mb() > 1.0
+        assert guard.should_save(1)
+        assert guard.reason and "host RSS" in guard.reason
+    finally:
+        guard.uninstall()
+    guard = PreemptionGuard(rss_limit_mb=float(2**40))
+    try:
+        assert not guard.should_save(1)
+        assert guard.reason is None
+    finally:
+        guard.uninstall()
+
+
 def _tiny_pretrain(monkeypatch, corpus, out, epochs=2, resume=None):
     from ecamp_tpu.cli import pretrain
     from ecamp_tpu.core import config as cfg
@@ -148,6 +168,27 @@ def test_preempt_resume_bitwise(toy_mimic32, tmp_path, monkeypatch, capsys):
     log = (pre_out / "log.txt").read_text().strip().splitlines()
     rec = json.loads(log[-1])
     assert rec["epoch"] == 1 and np.isfinite(rec["loss"])
+
+
+def test_rss_watchdog_checkpoint_exit_and_resume(toy_mimic32, tmp_path,
+                                                 monkeypatch, capsys):
+    """ECAMP_RSS_LIMIT_GB below the process RSS makes the pretrain CLI
+    checkpoint at step 1 and exit cleanly with the RSS reason in the log
+    line; resuming without the limit completes the run (the burn-in
+    driver's auto-resume segments, tools/burnin.py)."""
+    from ecamp_tpu.ckpt import latest_step
+
+    out = tmp_path / "rss"
+    monkeypatch.setenv("ECAMP_RSS_LIMIT_GB", "0.001")
+    _tiny_pretrain(monkeypatch, toy_mimic32, out)
+    monkeypatch.delenv("ECAMP_RSS_LIMIT_GB")
+    msg = capsys.readouterr().out
+    assert "preemption checkpoint saved @ step 1 (epoch 0)" in msg
+    assert "[host RSS" in msg
+    ck = str(out / "ckpt")
+    assert latest_step(ck) == 1
+    _tiny_pretrain(monkeypatch, toy_mimic32, out, resume=ck)
+    assert latest_step(ck) == 8
 
 
 from test_cli_e2e import toy_cls_data  # noqa: F401, E402  (fixture)

@@ -94,7 +94,7 @@ _SIT_RE = re.compile(r"Epoch \[(\d+)\].*Total time: ([0-9.]+)s "
 
 def run_cli(out_dir: str, corpus: str, batch: int, epochs: int,
             seed: int, resume: str = "", sigterm_after_epochs: int = -1,
-            log_name: str = "run") -> dict:
+            log_name: str = "run", rss_limit_gb: float = 0.0) -> dict:
     """Run ecamp-pretrain as a subprocess; optionally SIGTERM it after
     `sigterm_after_epochs` 'Total time' epoch lines. Returns parsed
     per-epoch s/it and exit info; streams raw output to <out>/<log>.log."""
@@ -103,6 +103,8 @@ def run_cli(out_dir: str, corpus: str, batch: int, epochs: int,
             "--batch_size", str(batch), "--epochs", str(epochs),
             "--max_epoch", str(2 * epochs), "--warmup_epochs", "5",
             "--seed", str(seed), "--print_freq", "10"]
+    if rss_limit_gb:
+        argv += ["--rss_limit_gb", str(rss_limit_gb)]
     if resume:
         argv += ["--resume", resume]
     t0 = time.time()
@@ -133,6 +135,59 @@ def run_cli(out_dir: str, corpus: str, batch: int, epochs: int,
         rc = proc.wait()
     return {"rc": rc, "s_it": sit, "wall_s": round(time.time() - t0, 1),
             "terminated": terminated, "log": logpath}
+
+
+_RSS_PREEMPT_RE = re.compile(
+    r"preemption checkpoint saved @ step (\d+).*\[host RSS")
+
+
+def run_cli_to_completion(out_dir: str, corpus: str, batch: int,
+                          epochs: int, seed: int, resume: str = "",
+                          log_name: str = "run",
+                          rss_limit_gb: float = 55.0,
+                          stop_after_epochs: int = -1,
+                          max_segments: int = 20) -> dict:
+    """run_cli in resumable segments: the host-RSS watchdog (jaxlib-0.9.0
+    per-transfer host leak, DESIGN.md "host RSS leak") makes the child
+    checkpoint-and-exit before the kernel OOM killer would SIGKILL it;
+    each watchdog exit is resumed with --resume until the run completes.
+    Aggregates s_it/wall across segments and reports the restart count.
+
+    stop_after_epochs >= 0: SIGTERM the run once that many DISTINCT
+    epochs have completed across all segments (the phase-3 reference run
+    must use the full --epochs so its LR schedule matches the main run
+    bitwise, but only needs to reach the shared cadence checkpoint)."""
+    ckpt_dir = os.path.join(os.path.abspath(out_dir), "ckpt")
+    sit, wall, restarts = [], 0.0, 0
+    done_epochs = set()
+    for seg in range(max_segments):
+        name = log_name if seg == 0 else f"{log_name}_r{seg}"
+        sig = -1
+        if stop_after_epochs >= 0:
+            sig = stop_after_epochs - len(done_epochs)
+            if sig <= 0:
+                break
+        r = run_cli(out_dir, corpus, batch, epochs, seed=seed,
+                    resume=resume, log_name=name, rss_limit_gb=rss_limit_gb,
+                    sigterm_after_epochs=sig)
+        sit += r["s_it"]
+        done_epochs.update(e for e, _ in r["s_it"])
+        wall += r["wall_s"]
+        assert r["rc"] == 0, f"{name} failed rc={r['rc']} (log {r['log']})"
+        with open(r["log"]) as f:
+            tail = f.read()[-4000:]
+        if r["terminated"] or not _RSS_PREEMPT_RE.search(tail):
+            return {"rc": 0, "s_it": sit, "wall_s": round(wall, 1),
+                    "restarts": restarts, "log": r["log"]}
+        restarts += 1
+        resume = ckpt_dir
+        print(f"  [{log_name}] RSS watchdog checkpoint-exit; "
+              f"resuming (segment {seg + 1})", flush=True)
+    else:
+        raise RuntimeError(f"{log_name}: exceeded {max_segments} "
+                           f"RSS-resume segments")
+    return {"rc": 0, "s_it": sit, "wall_s": round(wall, 1),
+            "restarts": restarts, "log": None}
 
 
 def read_jsonl(out_dir: str):
@@ -186,6 +241,9 @@ def main():
                          "last cadence ckpt (epoch 60) is compared")
     ap.add_argument("--work", default="/tmp/ecamp_burnin")
     ap.add_argument("--skip_ref", action="store_true")
+    ap.add_argument("--rss_limit_gb", type=float, default=55.0,
+                    help="host-RSS watchdog handed to each child; see "
+                         "core/preemption.py (jaxlib host-transfer leak)")
     args = ap.parse_args()
 
     corpus = os.path.join(args.work, "corpus")
@@ -197,76 +255,71 @@ def main():
     epochs = max(1, -(-args.steps // steps_per_epoch))
     out = os.path.join(args.work, "run")
     ref_out = os.path.join(args.work, "ref")
-    result = {"batch": args.batch, "steps_target": args.steps,
-              "steps_per_epoch": steps_per_epoch, "epochs": epochs}
+    ckpt_dir = os.path.join(os.path.abspath(out), "ckpt")
+
+    def last_epoch(d: str) -> int:
+        recs = read_jsonl(d)
+        return max((r["epoch"] for r in recs), default=-1)
+
+    # Every phase is idempotent: a dead driver (or a cut-short round) is
+    # re-run with the same --work and picks up where the state on disk
+    # says it left off.
 
     # phase 1: run + SIGTERM drill
-    print(f"phase 1: {epochs} epochs x {steps_per_epoch} steps, "
-          f"SIGTERM after epoch {args.preempt_epoch}")
-    p1 = run_cli(out, corpus, args.batch, epochs, seed=42,
-                 sigterm_after_epochs=args.preempt_epoch, log_name="phase1")
-    with open(os.path.join(out, "phase1.log")) as f:
-        tail = f.read()
-    m = re.search(r"preemption checkpoint saved @ step (\d+)", tail)
-    result["drill"] = {"rc": p1["rc"], "sigterm_delivered": p1["terminated"],
-                       "preempt_step": int(m.group(1)) if m else None,
-                       "epochs_before": len(p1["s_it"])}
-    assert p1["rc"] == 0 and m, f"drill failed: rc={p1['rc']}"
+    phase1_log = os.path.join(out, "phase1.log")
+    drill_done = False
+    if os.path.exists(phase1_log):
+        with open(phase1_log) as f:
+            drill_done = ("preemption checkpoint saved @ step"
+                          in f.read())
+    if drill_done:
+        print("phase 1: already complete (drill recorded in phase1.log)")
+    else:
+        print(f"phase 1: {epochs} epochs x {steps_per_epoch} steps, "
+              f"SIGTERM after epoch {args.preempt_epoch}")
+        p1 = run_cli(out, corpus, args.batch, epochs, seed=42,
+                     sigterm_after_epochs=args.preempt_epoch,
+                     log_name="phase1")
+        with open(phase1_log) as f:
+            ok = "preemption checkpoint saved @ step" in f.read()
+        assert p1["rc"] == 0 and ok, f"drill failed: rc={p1['rc']}"
 
-    # phase 2: resume to completion
-    print(f"phase 2: resume from step {m.group(1)}")
-    ckpt_dir = os.path.join(os.path.abspath(out), "ckpt")
-    p2 = run_cli(out, corpus, args.batch, epochs, seed=42,
-                 resume=ckpt_dir, log_name="phase2")
-    assert p2["rc"] == 0, f"resume run failed rc={p2['rc']}"
-    records = read_jsonl(out)
-    sit_all = sorted(p1["s_it"] + p2["s_it"])
-    result["epochs_logged"] = len(records)
-    result["steps_completed"] = (len({e for e, _ in sit_all})
-                                 * steps_per_epoch)
-    k = min(10, max(1, len(sit_all) // 4))
-    first = float(np.median([s for _, s in sit_all[:k]]))
-    last = float(np.median([s for _, s in sit_all[-k:]]))
-    result["step_time"] = {
-        "first_window_s_it": round(first, 4),
-        "last_window_s_it": round(last, 4),
-        "drift_pct": round(100.0 * (last - first) / first, 2),
-        "all_epochs": [[e, s] for e, s in sit_all]}
-    losses = [{kk: r.get(kk) for kk in
-               ("epoch", "loss", "mim_loss", "res_loss", "mlm_loss")}
-              for r in records]
-    result["loss_first"] = losses[0] if losses else None
-    result["loss_mid"] = losses[len(losses) // 2] if losses else None
-    result["loss_last"] = losses[-1] if losses else None
-    result["loss_monotone_frac"] = (
-        round(float(np.mean(np.diff([r["loss"] for r in losses]) < 0)), 3)
-        if len(losses) > 1 else None)
-    result["max_mem_mb"] = max((r.get("max_mem_mb", 0.0) or 0.0)
-                               for r in records) if records else 0.0
-    result["wall_s"] = {"phase1": p1["wall_s"], "phase2": p2["wall_s"]}
+    # phase 2: resume to completion (auto-resuming across RSS-watchdog
+    # checkpoint-exits)
+    if last_epoch(out) >= epochs - 1:
+        print("phase 2: already complete")
+    else:
+        print(f"phase 2: resume from {ckpt_dir}")
+        p2 = run_cli_to_completion(out, corpus, args.batch, epochs,
+                                   seed=42, resume=ckpt_dir,
+                                   log_name="phase2",
+                                   rss_limit_gb=args.rss_limit_gb)
+        print(f"phase 2 done in {p2['wall_s']}s "
+              f"({p2['restarts']} watchdog resumes)")
 
-    # phase 3: bitwise reference
-    if not args.skip_ref:
-        print(f"phase 3: uninterrupted reference, {args.ref_epochs} epochs")
-        p3 = run_cli(ref_out, corpus, args.batch, args.ref_epochs, seed=42,
-                     log_name="phase3")
-        assert p3["rc"] == 0, f"reference run failed rc={p3['rc']}"
-        # compare at the last cadence ckpt both runs share: epoch 60
-        shared_step = (60 + 1) * steps_per_epoch
-        result["bitwise"] = compare_ckpts(
-            ckpt_dir, os.path.join(os.path.abspath(ref_out), "ckpt"),
-            shared_step)
-        result["bitwise"]["ok"] = (
-            result["bitwise"]["n_param_mismatch"] == 0
-            and result["bitwise"]["n_opt_mismatch"] == 0)
-        result["wall_s"]["phase3"] = p3["wall_s"]
+    # phase 3: independent second run, same config/seed/schedule (same
+    # --epochs so the LR cosine is identical), stopped after the shared
+    # cadence checkpoint (epoch 60 -> step 61*steps_per_epoch). Both runs
+    # restart at DIFFERENT step boundaries (drill at the preempt epoch vs
+    # watchdog RSS exits), so bitwise equality at the shared step proves
+    # resume is state-exact at multiple distinct interruption points.
+    if not args.skip_ref and last_epoch(ref_out) < args.ref_epochs - 1:
+        print(f"phase 3: reference run to epoch {args.ref_epochs}")
+        p3 = run_cli_to_completion(ref_out, corpus, args.batch, epochs,
+                                   seed=42, log_name="phase3",
+                                   rss_limit_gb=args.rss_limit_gb,
+                                   stop_after_epochs=args.ref_epochs)
+        print(f"phase 3 done in {p3['wall_s']}s "
+              f"({p3['restarts']} watchdog resumes)")
+    elif not args.skip_ref:
+        print("phase 3: already complete")
 
-    with open(os.path.join(REPO, "BENCH_BURNIN.json"), "w") as f:
-        json.dump(result, f, indent=2)
-    print(json.dumps({kk: vv for kk, vv in result.items()
-                      if kk != "step_time"} |
-                     {"step_time_drift_pct":
-                      result["step_time"]["drift_pct"]}, indent=2))
+    # artifact: shared with the standalone harvest tool
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from burnin_harvest import harvest
+
+    harvest(args.work, args.steps, args.batch, steps_per_epoch,
+            os.path.join(REPO, "BENCH_BURNIN.json"))
 
 
 if __name__ == "__main__":

@@ -38,34 +38,52 @@ def parse_phase(path: str):
     return sit, (int(m.group(1)) if m else None)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--work", default="/tmp/ecamp_burnin")
-    ap.add_argument("--steps", type=int, default=2000)
-    ap.add_argument("--batch", type=int, default=104)
-    ap.add_argument("--steps_per_epoch", type=int, default=20)
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_BURNIN.json"))
-    args = ap.parse_args()
+def parse_phase_segments(run_dir: str, stem: str):
+    """Parse <stem>.log plus any <stem>_rN.log RSS-watchdog resume
+    segments (tools/burnin.py run_cli_to_completion); returns the merged
+    per-epoch s/it list and the segment count."""
+    import glob
 
-    run = os.path.join(args.work, "run")
-    ref = os.path.join(args.work, "ref")
+    paths = sorted(glob.glob(os.path.join(run_dir, f"{stem}*.log")))
+    sit = []
+    for p in paths:
+        s, _ = parse_phase(p)
+        sit += s
+    return sit, len(paths)
+
+
+def harvest(work: str, steps: int, batch: int, steps_per_epoch: int,
+            out: str) -> dict:
+    run = os.path.join(work, "run")
+    ref = os.path.join(work, "ref")
     p1, preempt_step = parse_phase(os.path.join(run, "phase1.log"))
-    p2, _ = parse_phase(os.path.join(run, "phase2.log"))
-    result = {"batch": args.batch, "steps_target": args.steps,
-              "steps_per_epoch": args.steps_per_epoch,
-              "epochs": -(-args.steps // args.steps_per_epoch),
+    p2, n2 = parse_phase_segments(run, "phase2")
+    _, n3 = parse_phase_segments(ref, "phase3")
+    result = {"batch": batch, "steps_target": steps,
+              "steps_per_epoch": steps_per_epoch,
+              "epochs": -(-steps // steps_per_epoch),
               "harvested": True}
     result["drill"] = {"sigterm_delivered": preempt_step is not None,
                        "preempt_step": preempt_step,
                        "epochs_before": len(p1)}
+    if n2 > 1 or n3 > 1:
+        result["rss_watchdog_resumes"] = {"phase2": max(0, n2 - 1),
+                                          "phase3": max(0, n3 - 1)}
 
     sit_all = sorted(p1 + p2)
     result["steps_completed"] = (len({e for e, _ in sit_all})
-                                 * args.steps_per_epoch)
+                                 * steps_per_epoch)
     if sit_all:
         k = min(10, max(1, len(sit_all) // 4))
-        first = float(np.median([s for _, s in sit_all[:k]]))
-        last = float(np.median([s for _, s in sit_all[-k:]]))
+        # one entry per epoch (an epoch re-run across a resume boundary
+        # appears in two segment logs); median windows absorb the
+        # occasional slow post-restart epoch
+        by_epoch = {}
+        for e, s in sit_all:
+            by_epoch.setdefault(e, s)
+        steady = sorted(by_epoch.items())
+        first = float(np.median([s for _, s in steady[:k]]))
+        last = float(np.median([s for _, s in steady[-k:]]))
         result["step_time"] = {
             "first_window_s_it": round(first, 4),
             "last_window_s_it": round(last, 4),
@@ -90,7 +108,7 @@ def main():
     result["max_mem_mb"] = max((r.get("max_mem_mb", 0.0) or 0.0)
                                for r in records) if records else 0.0
 
-    shared_step = (60 + 1) * args.steps_per_epoch
+    shared_step = (60 + 1) * steps_per_epoch
     have = all(os.path.isdir(os.path.join(d, "ckpt", str(shared_step)))
                for d in (run, ref))
     if have:
@@ -109,12 +127,25 @@ def main():
                     "of run/ref; small-scale bitwise resume is covered by "
                     "tests/test_preemption.py::test_pretrain_preempt_resume"}
 
-    with open(args.out, "w") as f:
+    with open(out, "w") as f:
         json.dump(result, f, indent=2)
     brief = {kk: vv for kk, vv in result.items() if kk != "step_time"}
     if "step_time" in result:
         brief["step_time_drift_pct"] = result["step_time"]["drift_pct"]
     print(json.dumps(brief, indent=2))
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/ecamp_burnin")
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=104)
+    ap.add_argument("--steps_per_epoch", type=int, default=20)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_BURNIN.json"))
+    args = ap.parse_args()
+    harvest(args.work, args.steps, args.batch, args.steps_per_epoch,
+            args.out)
 
 
 if __name__ == "__main__":
