@@ -160,8 +160,19 @@ def run_cli_to_completion(out_dir: str, corpus: str, batch: int,
     ckpt_dir = os.path.join(os.path.abspath(out_dir), "ckpt")
     sit, wall, restarts = [], 0.0, 0
     done_epochs = set()
+
+    def free_name(base: str) -> str:
+        # never clobber a previous invocation's segment log: the harvest
+        # reconstructs the step-time series from ALL <stem>*.log files
+        if not os.path.exists(os.path.join(out_dir, f"{base}.log")):
+            return base
+        i = 1
+        while os.path.exists(os.path.join(out_dir, f"{base}_r{i}.log")):
+            i += 1
+        return f"{base}_r{i}"
+
     for seg in range(max_segments):
-        name = log_name if seg == 0 else f"{log_name}_r{seg}"
+        name = free_name(log_name)
         sig = -1
         if stop_after_epochs >= 0:
             sig = stop_after_epochs - len(done_epochs)

@@ -71,8 +71,16 @@ def harvest(work: str, steps: int, batch: int, steps_per_epoch: int,
                                           "phase3": max(0, n3 - 1)}
 
     sit_all = sorted(p1 + p2)
-    result["steps_completed"] = (len({e for e, _ in sit_all})
-                                 * steps_per_epoch)
+    # ground truth for completed work is the run's JSONL (one record per
+    # COMPLETED epoch, appended across all segments); the s/it series can
+    # have gaps if a pre-fix segment overwrote an earlier log
+    logpath0 = os.path.join(run, "log.txt")
+    n_epoch_records = 0
+    if os.path.exists(logpath0):
+        with open(logpath0) as f:
+            n_epoch_records = sum(1 for ln in f if ln.strip())
+    result["steps_completed"] = (max(len({e for e, _ in sit_all}),
+                                     n_epoch_records) * steps_per_epoch)
     if sit_all:
         k = min(10, max(1, len(sit_all) // 4))
         # one entry per epoch (an epoch re-run across a resume boundary
