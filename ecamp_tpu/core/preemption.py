@@ -30,7 +30,7 @@ treats host RSS crossing the limit like a preemption notice — the loop
 checkpoints at the exact step and exits cleanly instead of being
 SIGKILLed by the kernel OOM killer and losing everything since the last
 cadence save. Motivation: any unbounded host-memory growth (leaky
-feeder, fragmenting allocator — and concretely the jaxlib-0.9.0
+feeder, fragmenting allocator — and concretely the remote-TPU-transport
 per-transfer host-buffer leak documented in DESIGN.md "host RSS leak")
 turns a multi-hour run into an OOM kill; bounded-RSS checkpoint-restart
 makes it a sequence of clean resumable segments.

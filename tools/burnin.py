@@ -147,7 +147,7 @@ def run_cli_to_completion(out_dir: str, corpus: str, batch: int,
                           rss_limit_gb: float = 55.0,
                           stop_after_epochs: int = -1,
                           max_segments: int = 20) -> dict:
-    """run_cli in resumable segments: the host-RSS watchdog (jaxlib-0.9.0
+    """run_cli in resumable segments: the host-RSS watchdog (remote-TPU
     per-transfer host leak, DESIGN.md "host RSS leak") makes the child
     checkpoint-and-exit before the kernel OOM killer would SIGKILL it;
     each watchdog exit is resumed with --resume until the run completes.
