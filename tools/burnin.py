@@ -86,6 +86,8 @@ def make_corpus(root: str, n_images: int, side: int = 1024) -> None:
         w.writerows(labels)
     shutil.copy(os.path.join(REPO, "ecamp_tpu", "assets",
                              "mimic_wordpiece.json"), root)
+    with open(os.path.join(root, "corpus_meta.json"), "w") as f:
+        json.dump({"n_images": n_images, "side": side}, f)
 
 
 _SIT_RE = re.compile(r"Epoch \[(\d+)\].*Total time: ([0-9.]+)s "
@@ -246,6 +248,10 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=104)
     ap.add_argument("--corpus_images", type=int, default=2080)
+    ap.add_argument("--corpus_side", type=int, default=1024,
+                    help="stored JPEG side; must be >= 448 (the RRC "
+                         "target). 512 cuts 1-core decode cost ~4x vs "
+                         "1024 without changing what the model sees")
     ap.add_argument("--preempt_epoch", type=int, default=30)
     ap.add_argument("--ref_epochs", type=int, default=61,
                     help="uninterrupted bitwise-reference run length; its "
@@ -260,8 +266,9 @@ def main():
     corpus = os.path.join(args.work, "corpus")
     if not os.path.exists(os.path.join(corpus,
                                        "mimic-cxr-2.0.0-entity-llm.csv")):
-        print(f"building corpus ({args.corpus_images} JPEGs)...")
-        make_corpus(corpus, args.corpus_images)
+        print(f"building corpus ({args.corpus_images} JPEGs "
+              f"@ {args.corpus_side}^2)...")
+        make_corpus(corpus, args.corpus_images, side=args.corpus_side)
     steps_per_epoch = args.corpus_images // args.batch
     epochs = max(1, -(-args.steps // steps_per_epoch))
     out = os.path.join(args.work, "run")

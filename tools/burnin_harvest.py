@@ -63,6 +63,10 @@ def harvest(work: str, steps: int, batch: int, steps_per_epoch: int,
               "steps_per_epoch": steps_per_epoch,
               "epochs": -(-steps // steps_per_epoch),
               "harvested": True}
+    meta_path = os.path.join(work, "corpus", "corpus_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            result["corpus"] = json.load(f)
     result["drill"] = {"sigterm_delivered": preempt_step is not None,
                        "preempt_step": preempt_step,
                        "epochs_before": len(p1)}
