@@ -74,6 +74,13 @@ def get_args():
                         "and exit cleanly (resumable) instead of risking "
                         "an OOM SIGKILL; 0 disables. Also settable as "
                         "ECAMP_RSS_LIMIT_GB for all CLIs.")
+    p.add_argument("--u8_pipe", action="store_true",
+                   help="ship images host->device as the quantized u8 "
+                        "single-channel gray and normalize + broadcast "
+                        "to 3 channels on-device: 1/6 the transfer bytes "
+                        "of the default bf16 pipe (1/12 of --no_bf16); "
+                        "identical quantized pixels, losses equal to "
+                        "~1 ulp (tests/test_u8_pipe.py)")
     return p.parse_args()
 
 
@@ -85,7 +92,9 @@ def main():
     args = get_args()
     setup_output(args.output_dir, args)
 
-    if args.no_bf16:
+    if args.u8_pipe:
+        image_dtype = np.uint8
+    elif args.no_bf16:
         image_dtype = np.float32
     else:
         import ml_dtypes

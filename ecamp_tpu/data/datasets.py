@@ -189,7 +189,10 @@ class PretrainReportDataset:
                  max_caption_length: int = 256, seed: int = 0,
                  tokenizer: Optional[WordPieceTokenizer] = None,
                  image_dtype=np.float32):
-        """image_dtype: np.float32, or ml_dtypes.bfloat16 to halve H2D
+        """image_dtype: np.float32; ml_dtypes.bfloat16 to halve H2D
+        bytes; or np.uint8 to ship the quantized single-channel gray
+        (1/12 the f32 bytes) and normalize + broadcast on-device
+        (train/pretrain.py::device_normalize) —
         transfer bytes — bit-identical downstream because the model's
         first op casts the image to its compute dtype anyway
         (nn/mae.py: batch['image'].astype(self.dtype))."""
@@ -210,7 +213,8 @@ class PretrainReportDataset:
         self.tokenizer.enable_native()
         self.transform = TrainTransform(img_size, mean=0.4721, std=0.3037,
                                         scale=(0.2, 1.0),
-                                        interpolation="bicubic", seed=seed)
+                                        interpolation="bicubic", seed=seed,
+                                        output_u8=image_dtype == np.uint8)
         self.rng = random.Random(seed)
         self.seed = seed
         self.image_dtype = image_dtype

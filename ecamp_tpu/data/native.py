@@ -56,6 +56,13 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32)]
     lib.ecamp_tok_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "ecamp_resize_gray_u8"):  # abi >= 2
+        lib.ecamp_resize_gray_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8)]
     lib.ecamp_resize_norm.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -135,4 +142,28 @@ def resize_norm(src: np.ndarray, box, out_size: int, mean: float, std: float,
         float(mean), float(std), int(grayscale),
         1 if filter == "bicubic" else 0,
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return dst
+
+
+def resize_gray_u8(src: np.ndarray, box, out_size: int,
+                   filter: str = "bilinear") -> Optional[np.ndarray]:
+    """Fused crop-resize + grayscale to the QUANTIZED u8 gray — exactly
+    the integer resize_norm normalizes internally (clip8 passes + ITU-R
+    601-2 luma). src: u8 HWC or HW. Returns u8 (out, out), or None if
+    the library/symbol is unavailable (pre-abi-2 .so) or the filter is
+    not implemented natively."""
+    lib = load_library()
+    if (lib is None or not hasattr(lib, "ecamp_resize_gray_u8")
+            or filter not in ("bilinear", "bicubic")):
+        return None
+    src = np.ascontiguousarray(src, np.uint8)
+    h, w = src.shape[:2]
+    c = src.shape[2] if src.ndim == 3 else 1
+    dst = np.empty((out_size, out_size), np.uint8)
+    x0, y0, x1, y1 = box
+    lib.ecamp_resize_gray_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        float(x0), float(y0), float(x1), float(y1), out_size, out_size,
+        1 if filter == "bicubic" else 0,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return dst

@@ -102,7 +102,13 @@ class TrainTransform:
     def __init__(self, size: int, mean: float, std: float,
                  scale: Tuple[float, float] = (0.08, 1.0),
                  interpolation: str = "bilinear", seed: int = 0,
-                 use_native: bool = True, draft: bool = True):
+                 use_native: bool = True, draft: bool = True,
+                 output_u8: bool = False):
+        """output_u8: emit the quantized u8 gray (size, size, 1) instead
+        of the normalized f32 (size, size, 3) — 1/12 the bytes; the
+        normalize + 3-channel broadcast then runs on-device
+        (train/pretrain.py::device_normalize). Same quantized pixels by
+        construction: the f32 path normalizes exactly this u8 value."""
         self.size = size
         self.mean = mean
         self.std = std
@@ -111,6 +117,40 @@ class TrainTransform:
         self.rng = random.Random(seed)
         self.use_native = use_native
         self.draft = draft
+        self.output_u8 = output_u8
+
+    def _emit(self, img, box, flip: bool) -> np.ndarray:
+        """Finish one sample from the decoded image + sampled box/flip:
+        native fused kernel when available, PIL fallback otherwise (the
+        rng draws are already consumed either way)."""
+        # getattr: instances pickled by pre-u8 versions (mp spawn workers,
+        # cached datasets) lack the attribute
+        output_u8 = getattr(self, "output_u8", False)
+        if self.use_native:
+            from . import native
+
+            arr = np.asarray(img)
+            if output_u8:
+                out = native.resize_gray_u8(arr, box, self.size,
+                                            filter=self.interpolation)
+                if out is not None:
+                    if flip:
+                        out = np.ascontiguousarray(out[:, ::-1])
+                    return out[..., None]
+            else:
+                out = native.resize_norm(arr, box, self.size, self.mean,
+                                         self.std, grayscale=True,
+                                         filter=self.interpolation)
+                if out is not None:
+                    return out[:, ::-1].copy() if flip else out
+        pil = Image.fromarray(img) if isinstance(img, np.ndarray) else img
+        pil = pil.resize((self.size, self.size), _interp(self.interpolation),
+                         box=box)
+        if flip:
+            pil = pil.transpose(Image.FLIP_LEFT_RIGHT)
+        if output_u8:
+            return np.asarray(pil.convert("L"))[..., None]
+        return normalize(np.asarray(to_grayscale3(pil)), self.mean, self.std)
 
     def load(self, path) -> np.ndarray:
         """Fused open+decode+transform for one file — the feeder hot path.
@@ -144,47 +184,14 @@ class TrainTransform:
         if (sw, sh) != (w, h):
             sx, sy = sw / w, sh / h
             box = (box[0] * sx, box[1] * sy, box[2] * sx, box[3] * sy)
-        if self.use_native:
-            from . import native
-
-            out = native.resize_norm(arr, box, self.size, self.mean,
-                                     self.std, grayscale=True,
-                                     filter=self.interpolation)
-            if out is not None:
-                return out[:, ::-1].copy() if flip else out
-        pil = Image.fromarray(arr)
-        pil = pil.resize((self.size, self.size), _interp(self.interpolation),
-                         box=box)
-        if flip:
-            pil = pil.transpose(Image.FLIP_LEFT_RIGHT)
-        return normalize(np.asarray(to_grayscale3(pil)), self.mean, self.std)
+        return self._emit(arr, box, flip)
 
     def __call__(self, img: Image.Image) -> np.ndarray:
-        if self.use_native:
-            from . import native
-
-            box = sample_crop_box(img.size[0], img.size[1], self.rng,
-                                  self.scale)
-            flip = self.rng.random() < 0.5
-            out = native.resize_norm(np.asarray(img), box, self.size,
-                                     self.mean, self.std, grayscale=True,
-                                     filter=self.interpolation)
-            if out is not None:
-                return out[:, ::-1].copy() if flip else out
-            # library unavailable: finish this sample on the PIL path with
-            # the already-consumed rng draws
-            pil = img.resize((self.size, self.size),
-                             _interp(self.interpolation), box=box)
-            if flip:
-                pil = pil.transpose(Image.FLIP_LEFT_RIGHT)
-            return normalize(np.asarray(to_grayscale3(pil)), self.mean,
-                             self.std)
-        img = random_resized_crop(img, self.size, self.rng, self.scale,
-                                  interpolation=self.interpolation)
-        if self.rng.random() < 0.5:
-            img = img.transpose(Image.FLIP_LEFT_RIGHT)
-        img = to_grayscale3(img)
-        return normalize(np.asarray(img), self.mean, self.std)
+        # rng draw order (crop box, then flip) matches load() exactly
+        box = sample_crop_box(img.size[0], img.size[1], self.rng,
+                              self.scale)
+        flip = self.rng.random() < 0.5
+        return self._emit(img, box, flip)
 
 
 class EvalTransform:

@@ -21,6 +21,25 @@ from .optim import make_optimizer, make_schedule
 from .state import TrainState
 
 
+def device_normalize(batch: Dict, mean: float, std: float) -> Dict:
+    """On-device normalize for the u8 image pipe (--u8_pipe): the feeder
+    ships the quantized single-channel gray as uint8 (1/6 the bytes of
+    the normalized bf16 3-channel tensor it replaces over the host->device
+    link — the measured bottleneck on tunneled accelerators, DESIGN.md
+    "host RSS leak"), and the first traced op reproduces the host path
+    bit-for-bit: (u8/255 - mean) / std in f32 (data/transforms.py::
+    normalize), broadcast to the 3 identical channels Grayscale(3)
+    produced on the host (reference pretrain_datasets.py:47-52). No-op
+    for non-u8 batches, so one jitted step serves both pipes."""
+    img = batch.get("image")
+    if img is None or img.dtype != jnp.uint8:
+        return batch
+    x = (img.astype(jnp.float32) / 255.0 - mean) / std
+    if x.shape[-1] == 1:
+        x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
+    return dict(batch, image=x)
+
+
 class PretrainTask:
     def __init__(self, cfg: cfglib.PretrainConfig, mesh=None,
                  steps_per_epoch: int = 1):
@@ -147,6 +166,8 @@ class PretrainTask:
         return None
 
     def _step_body(self, state: TrainState, batch, rng, out_constraint):
+        batch = device_normalize(batch, self.cfg.data.mean,
+                                 self.cfg.data.std)
         rng = jax.random.fold_in(rng, state.step)
         (loss, aux), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(state.params, batch, rng)

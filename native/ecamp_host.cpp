@@ -236,16 +236,35 @@ FilterTaps compute_taps(int64_t in_size, int64_t out_size, double box0,
 
 }  // namespace
 
+void ecamp_resize_gray_u8(const uint8_t* src, int64_t sh, int64_t sw,
+                          int64_t channels,
+                          double box_x0, double box_y0, double box_x1,
+                          double box_y1, int64_t oh, int64_t ow,
+                          int32_t filter, uint8_t* dst);
+
 void ecamp_resize_norm(const uint8_t* src, int64_t sh, int64_t sw,
                        int64_t channels,
                        double box_x0, double box_y0, double box_x1,
                        double box_y1, int64_t oh, int64_t ow,
                        float mean, float std_, int32_t grayscale,
                        int32_t filter, float* dst) {
-    const FilterTaps hx = compute_taps(sw, ow, box_x0, box_x1, filter);
-    const FilterTaps vy = compute_taps(sh, oh, box_y0, box_y1, filter);
     const float inv_std = 1.0f / std_;
     const int64_t c_in = channels;
+    if (grayscale || c_in == 1) {
+        // same quantized gray as the fused path computed inline before;
+        // delegating keeps one copy of the two-pass resample core
+        std::vector<uint8_t> gray(static_cast<size_t>(oh) * ow);
+        ecamp_resize_gray_u8(src, sh, sw, c_in, box_x0, box_y0, box_x1,
+                             box_y1, oh, ow, filter, gray.data());
+        for (int64_t i = 0; i < oh * ow; ++i) {
+            float v = (static_cast<float>(gray[i]) / 255.0f - mean)
+                      * inv_std;
+            dst[i * 3] = dst[i * 3 + 1] = dst[i * 3 + 2] = v;
+        }
+        return;
+    }
+    const FilterTaps hx = compute_taps(sw, ow, box_x0, box_x1, filter);
+    const FilterTaps vy = compute_taps(sh, oh, box_y0, box_y1, filter);
 
     // horizontal pass over only the source rows the vertical pass reads
     int64_t ymin_all = sh, ymax_all = 0;
@@ -289,7 +308,70 @@ void ecamp_resize_norm(const uint8_t* src, int64_t sh, int64_t sw,
                     px[c] += trow[x * c_in + c] * w[j];
             }
             float* out = dst + (y * ow + x) * 3;
-            if (grayscale && c_in >= 3) {
+            // only the RGB non-grayscale path reaches here (gray/c_in==1
+            // delegate to ecamp_resize_gray_u8 above)
+            for (int64_t c = 0; c < 3; ++c) {
+                float vq = static_cast<float>(static_cast<uint8_t>(
+                    std::clamp(px[c] + 0.5f, 0.0f, 255.0f)));
+                out[c] = (vq / 255.0f - mean) * inv_std;
+            }
+        }
+    }
+}
+
+// Crop-resize + grayscale to QUANTIZED u8 — the integer gray value that
+// ecamp_resize_norm computes internally before its fused normalize
+// (clip8 per pass, then ITU-R 601-2 luma for RGB sources). Emitting u8
+// lets the feeder ship 1/6 the bytes of the normalized bf16 3-channel
+// tensor over the host->device link; normalization then runs on-device
+// (train/pretrain.py::device_normalize). Exact equivalence with the
+// fused path is pinned by tests/test_u8_pipe.py.
+void ecamp_resize_gray_u8(const uint8_t* src, int64_t sh, int64_t sw,
+                          int64_t channels,
+                          double box_x0, double box_y0, double box_x1,
+                          double box_y1, int64_t oh, int64_t ow,
+                          int32_t filter, uint8_t* dst) {
+    const FilterTaps hx = compute_taps(sw, ow, box_x0, box_x1, filter);
+    const FilterTaps vy = compute_taps(sh, oh, box_y0, box_y1, filter);
+    const int64_t c_in = channels;
+
+    int64_t ymin_all = sh, ymax_all = 0;
+    for (int64_t y = 0; y < oh; ++y) {
+        ymin_all = std::min<int64_t>(ymin_all, vy.bounds[y * 2]);
+        ymax_all = std::max<int64_t>(ymax_all,
+                                     vy.bounds[y * 2] + vy.bounds[y * 2 + 1]);
+    }
+    std::vector<float> temp(static_cast<size_t>(ymax_all - ymin_all) * ow * c_in);
+    for (int64_t y = ymin_all; y < ymax_all; ++y) {
+        const uint8_t* row = src + y * sw * c_in;
+        float* trow = temp.data() + (y - ymin_all) * ow * c_in;
+        for (int64_t x = 0; x < ow; ++x) {
+            int32_t xmin = hx.bounds[x * 2];
+            int32_t xsz = hx.bounds[x * 2 + 1];
+            const float* w = &hx.weights[static_cast<size_t>(x) * hx.ksize];
+            for (int64_t c = 0; c < c_in; ++c) {
+                float acc = 0.0f;
+                for (int32_t j = 0; j < xsz; ++j)
+                    acc += row[(xmin + j) * c_in + c] * w[j];
+                trow[x * c_in + c] = static_cast<float>(
+                    static_cast<uint8_t>(std::clamp(acc + 0.5f, 0.0f,
+                                                    255.0f)));
+            }
+        }
+    }
+    for (int64_t y = 0; y < oh; ++y) {
+        int32_t ymin = vy.bounds[y * 2];
+        int32_t ysz = vy.bounds[y * 2 + 1];
+        const float* w = &vy.weights[static_cast<size_t>(y) * vy.ksize];
+        for (int64_t x = 0; x < ow; ++x) {
+            float px[4] = {0, 0, 0, 0};
+            for (int32_t j = 0; j < ysz; ++j) {
+                const float* trow = temp.data() +
+                    (ymin + j - ymin_all) * ow * c_in;
+                for (int64_t c = 0; c < c_in; ++c)
+                    px[c] += trow[x * c_in + c] * w[j];
+            }
+            if (c_in >= 3) {
                 // PIL quantizes each resized channel to u8 (clip8), THEN
                 // convert('L') applies fixed-point ITU-R 601-2 luma
                 // (L24 in Pillow: (19595 r + 38470 g + 7471 b + 0x8000)>>16)
@@ -297,22 +379,17 @@ void ecamp_resize_norm(const uint8_t* src, int64_t sh, int64_t sw,
                 for (int c = 0; c < 3; ++c)
                     q[c] = static_cast<uint8_t>(
                         std::clamp(px[c] + 0.5f, 0.0f, 255.0f));
-                uint32_t lq = (19595u * q[0] + 38470u * q[1] +
-                               7471u * q[2] + 0x8000u) >> 16;
-                float v = (static_cast<float>(lq) / 255.0f - mean) * inv_std;
-                out[0] = out[1] = out[2] = v;
+                dst[y * ow + x] = static_cast<uint8_t>(
+                    (19595u * q[0] + 38470u * q[1] + 7471u * q[2]
+                     + 0x8000u) >> 16);
             } else {
-                for (int64_t c = 0; c < 3; ++c) {
-                    float v = px[c_in == 1 ? 0 : c];
-                    float vq = static_cast<float>(static_cast<uint8_t>(
-                        std::clamp(v + 0.5f, 0.0f, 255.0f)));
-                    out[c] = (vq / 255.0f - mean) * inv_std;
-                }
+                dst[y * ow + x] = static_cast<uint8_t>(
+                    std::clamp(px[0] + 0.5f, 0.0f, 255.0f));
             }
         }
     }
 }
 
-int32_t ecamp_abi_version() { return 1; }
+int32_t ecamp_abi_version() { return 2; }
 
 }  // extern "C"

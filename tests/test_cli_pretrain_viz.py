@@ -69,7 +69,9 @@ def toy_mimic(tmp_path):
     return root
 
 
-def test_pretrain_cli_e2e(toy_mimic, tmp_path, monkeypatch, capsys):
+@pytest.mark.parametrize("pipe", [[], ["--u8_pipe"]],
+                         ids=["f32", "u8_pipe"])
+def test_pretrain_cli_e2e(toy_mimic, tmp_path, monkeypatch, capsys, pipe):
     from ecamp_tpu.cli import pretrain
 
     out = tmp_path / "out"
@@ -78,7 +80,7 @@ def test_pretrain_cli_e2e(toy_mimic, tmp_path, monkeypatch, capsys):
             "--warmup_epochs", "1", "--input_size", "64",
             "--max_caption_length", "16",
             "--num_workers", "2", "--output_dir", str(out), "--no_bf16",
-            "--print_freq", "1"]
+            "--print_freq", "1"] + pipe
     monkeypatch.setattr(sys, "argv", argv)
     # shrink the model via config monkeypatching: the CLI builds
     # PretrainConfig() defaults — patch the dataclass defaults used there
