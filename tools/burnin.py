@@ -115,6 +115,13 @@ def run_cli(out_dir: str, corpus: str, batch: int, epochs: int,
     sit, epochs_done, terminated = [], 0, False
     env = dict(os.environ, PYTHONUNBUFFERED="1")  # line-latency matters:
     # the SIGTERM drill triggers off parsed epoch lines
+    # persistent XLA compile cache: RSS-watchdog resumes and the phase-3
+    # reference run re-trace the same graph — without this each restart
+    # re-pays a multi-minute remote compile (harmless no-op if the
+    # backend doesn't support it)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(os.path.abspath(out_dir)),
+                                "xla_cache"))
     with open(logpath, "w") as logf:
         proc = subprocess.Popen(argv, cwd=REPO, stdout=subprocess.PIPE,
                                 stderr=subprocess.STDOUT, text=True,
