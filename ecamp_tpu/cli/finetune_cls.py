@@ -83,6 +83,11 @@ def get_args():
                         "steps once per accum micro-batches (reference "
                         "train.py semantics)")
     p.add_argument("--stage", default="train", choices=["train", "test"])
+    p.add_argument("--u8_pipe", action="store_true",
+                   help="ship images host->device as the quantized u8 "
+                        "single-channel gray and normalize + broadcast "
+                        "on-device (1/12 the f32 bytes; identical "
+                        "quantized pixels — tests/test_u8_pipe.py)")
     return p.parse_args()
 
 
@@ -120,8 +125,10 @@ def main():
                                   f"{args.task}/test_list.txt")
     num_classes, multilabel = TASKS[args.task]
 
-    tt = TrainTransform(args.img_size, 0.4722, 0.3028, seed=args.seed)
-    et = EvalTransform(args.img_size, 0.4722, 0.3028, crop_ratio=args.ratio)
+    tt = TrainTransform(args.img_size, 0.4722, 0.3028, seed=args.seed,
+                        output_u8=args.u8_pipe)
+    et = EvalTransform(args.img_size, 0.4722, 0.3028, crop_ratio=args.ratio,
+                       output_u8=args.u8_pipe)
 
     import dataclasses
 

@@ -171,7 +171,9 @@ class ClassificationListDataset:
             img = self.transform(img)
         else:
             img = np.asarray(img, np.float32) / 255.0
-        return {"image": img.astype(np.float32), "label": label}
+        if img.dtype != np.uint8:  # u8 pipe: keep the wire dtype
+            img = img.astype(np.float32)
+        return {"image": img, "label": label}
 
 
 # ---------------------------------------------------------------------------

@@ -195,18 +195,25 @@ class TrainTransform:
 
 
 class EvalTransform:
-    """Resize(size/crop_ratio) + CenterCrop + Grayscale(3) + Normalize."""
+    """Resize(size/crop_ratio) + CenterCrop + Grayscale(3) + Normalize.
+
+    output_u8: emit the quantized u8 gray (size, size, 1) for the u8
+    pipe (see TrainTransform); normalization happens on-device."""
 
     def __init__(self, size: int, mean: float, std: float,
-                 crop_ratio: float = 0.875, interpolation: str = "bilinear"):
+                 crop_ratio: float = 0.875, interpolation: str = "bilinear",
+                 output_u8: bool = False):
         self.size = size
         self.resize_to = int(size / crop_ratio)
         self.mean = mean
         self.std = std
         self.interpolation = interpolation
+        self.output_u8 = output_u8
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         img = center_crop_resize(img, self.size, self.resize_to,
                                  self.interpolation)
+        if getattr(self, "output_u8", False):
+            return np.asarray(img.convert("L"))[..., None]
         img = to_grayscale3(img)
         return normalize(np.asarray(img), self.mean, self.std)

@@ -180,3 +180,19 @@ def normalize_image(x: jnp.ndarray, mean: float, std: float) -> jnp.ndarray:
     """Per-channel-identical normalize (grayscale-replicated inputs,
     pretrain_datasets.py:52)."""
     return (x - mean) / std
+
+
+def device_normalize_image(x: jnp.ndarray, mean: float,
+                           std: float) -> jnp.ndarray:
+    """On-device half of the u8 image pipe: quantized u8 gray
+    (..., H, W, 1|3) -> normalized f32 (..., H, W, 3), the same ops/order
+    as the host path (data/transforms.py::normalize) so results match
+    bitwise outside fusion; broadcast restores the 3 identical channels
+    Grayscale(3) produced on the host. Passthrough for non-u8 inputs, so
+    one jitted step serves both pipes."""
+    if x.dtype != jnp.uint8:
+        return x
+    y = (x.astype(jnp.float32) / 255.0 - mean) / std
+    if y.shape[-1] == 1:
+        y = jnp.broadcast_to(y, y.shape[:-1] + (3,))
+    return y

@@ -60,6 +60,10 @@ class ClassificationTask:
         return place_finetune_state(self.mesh, state)
 
     def _loss(self, params, images, labels, dropout_rng):
+        from ..ops.image_ops import device_normalize_image
+
+        images = device_normalize_image(images, self.cfg.data.mean,
+                                        self.cfg.data.std)
         logits = self.model.apply({"params": params}, images,
                                   deterministic=False,
                                   stop_trunk_grad=self.cfg.linear_probe,
@@ -92,7 +96,11 @@ class ClassificationTask:
         return self._train_step(state, images, labels)
 
     def make_eval_step(self):
+        from ..ops.image_ops import device_normalize_image
+
         def eval_fn(params, images):
+            images = device_normalize_image(images, self.cfg.data.mean,
+                                            self.cfg.data.std)
             return self.model.apply({"params": params}, images,
                                     deterministic=True)
 

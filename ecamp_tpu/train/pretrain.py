@@ -34,10 +34,9 @@ def device_normalize(batch: Dict, mean: float, std: float) -> Dict:
     img = batch.get("image")
     if img is None or img.dtype != jnp.uint8:
         return batch
-    x = (img.astype(jnp.float32) / 255.0 - mean) / std
-    if x.shape[-1] == 1:
-        x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
-    return dict(batch, image=x)
+    from ..ops.image_ops import device_normalize_image
+
+    return dict(batch, image=device_normalize_image(img, mean, std))
 
 
 class PretrainTask:

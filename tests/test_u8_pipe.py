@@ -179,6 +179,58 @@ def test_train_step_u8_equals_f32_pipe():
     np.testing.assert_allclose(p8, pf, rtol=1e-5, atol=1e-8)
 
 
+def test_eval_transform_u8_is_the_f32_pipes_quantized_gray():
+    from ecamp_tpu.data.transforms import EvalTransform
+
+    rng = np.random.default_rng(9)
+    img = Image.fromarray(rng.integers(0, 256, (80, 96, 3), np.uint8)
+                          .astype(np.uint8), "RGB")
+    kw = dict(mean=MEAN, std=STD, crop_ratio=0.875)
+    a8 = EvalTransform(64, output_u8=True, **kw)(img)
+    af = EvalTransform(64, **kw)(img)
+    assert a8.shape == (64, 64, 1) and a8.dtype == np.uint8
+    gray = np.rint((af[..., 0] * STD + MEAN) * 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(gray, a8[..., 0])
+
+
+def test_cls_train_and_eval_steps_u8_equals_f32():
+    """ClassificationTask (--u8_pipe in finetune_cls): u8 batches must
+    reproduce the f32 pipe's losses/logits to ~1 ulp (mean/std 0.4722/
+    0.3028, reference data_utils.py)."""
+    import jax
+
+    from ecamp_tpu.core import config as cfg
+    from ecamp_tpu.core.mesh import make_mesh
+    from ecamp_tpu.train.classification import ClassificationTask
+
+    mean, std = 0.4722, 0.3028
+    c = cfg.ClassificationConfig(
+        vit=cfg.ViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                          depth=2, num_heads=2),
+        optimizer=cfg.OptimizerConfig(name="sgd", lr=1e-2, momentum=0.9,
+                                      schedule="constant"),
+        mesh=cfg.MeshConfig(data=1), num_classes=3, is_multilabel=True,
+        bf16=False, data=cfg.DataConfig(img_size=32, mean=mean, std=std))
+    rng = np.random.default_rng(21)
+    gray = rng.integers(0, 256, (4, 32, 32, 1), np.uint8)
+    f32 = (np.broadcast_to(gray, (4, 32, 32, 3)).astype(np.float32)
+           / 255.0 - mean) / std
+    labels = rng.integers(0, 2, (4, 3)).astype(np.float32)
+
+    def run(img):
+        task = ClassificationTask(c, mesh=make_mesh(
+            c.mesh, devices=jax.devices()[:1]))
+        state = task.init_state(jax.random.PRNGKey(0))
+        state, m = task.train_step(state, img, labels)
+        logits = task.eval_step(state, img)
+        return float(m["loss"]), np.asarray(logits)
+
+    l8, g8 = run(gray)
+    lf, gf = run(f32)
+    np.testing.assert_allclose(l8, lf, rtol=1e-6)
+    np.testing.assert_allclose(g8, gf, rtol=1e-5, atol=1e-6)
+
+
 def test_pretrain_dataset_u8_pipe(tmp_path):
     """PretrainReportDataset(image_dtype=np.uint8) emits (S, S, 1) u8
     samples whose gray equals the f32 dataset's normalized channel."""
