@@ -349,8 +349,10 @@ from ecamp_tpu.cli import pretrain
 pretrain.cfg.PretrainConfig = tiny
 pretrain.main()
 """
+    # 900s: under multi-way CPU contention (suite + live TPU feeder) the
+    # tiny subprocess run was seen to exceed 600s on this 1-core box
     proc = subprocess.run([sys.executable, "-c", script],
-                          capture_output=True, text=True, timeout=600)
+                          capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-2000:]
     ck = out / "ckpt"
     tmps = [p.name for p in ck.iterdir() if "tmp" in p.name]
