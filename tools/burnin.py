@@ -96,7 +96,8 @@ _SIT_RE = re.compile(r"Epoch \[(\d+)\].*Total time: ([0-9.]+)s "
 
 def run_cli(out_dir: str, corpus: str, batch: int, epochs: int,
             seed: int, resume: str = "", sigterm_after_epochs: int = -1,
-            log_name: str = "run", rss_limit_gb: float = 0.0) -> dict:
+            log_name: str = "run", rss_limit_gb: float = 0.0,
+            u8_pipe: bool = False) -> dict:
     """Run ecamp-pretrain as a subprocess; optionally SIGTERM it after
     `sigterm_after_epochs` 'Total time' epoch lines. Returns parsed
     per-epoch s/it and exit info; streams raw output to <out>/<log>.log."""
@@ -105,6 +106,8 @@ def run_cli(out_dir: str, corpus: str, batch: int, epochs: int,
             "--batch_size", str(batch), "--epochs", str(epochs),
             "--max_epoch", str(2 * epochs), "--warmup_epochs", "5",
             "--seed", str(seed), "--print_freq", "10"]
+    if u8_pipe:
+        argv.append("--u8_pipe")
     if rss_limit_gb:
         argv += ["--rss_limit_gb", str(rss_limit_gb)]
     if resume:
@@ -155,7 +158,8 @@ def run_cli_to_completion(out_dir: str, corpus: str, batch: int,
                           log_name: str = "run",
                           rss_limit_gb: float = 55.0,
                           stop_after_epochs: int = -1,
-                          max_segments: int = 20) -> dict:
+                          max_segments: int = 20,
+                          u8_pipe: bool = False) -> dict:
     """run_cli in resumable segments: the host-RSS watchdog (remote-TPU
     per-transfer host leak, DESIGN.md "host RSS leak") makes the child
     checkpoint-and-exit before the kernel OOM killer would SIGKILL it;
@@ -189,7 +193,7 @@ def run_cli_to_completion(out_dir: str, corpus: str, batch: int,
                 break
         r = run_cli(out_dir, corpus, batch, epochs, seed=seed,
                     resume=resume, log_name=name, rss_limit_gb=rss_limit_gb,
-                    sigterm_after_epochs=sig)
+                    sigterm_after_epochs=sig, u8_pipe=u8_pipe)
         sit += r["s_it"]
         done_epochs.update(e for e, _ in r["s_it"])
         wall += r["wall_s"]
@@ -268,6 +272,11 @@ def main():
     ap.add_argument("--rss_limit_gb", type=float, default=55.0,
                     help="host-RSS watchdog handed to each child; see "
                          "core/preemption.py (jaxlib host-transfer leak)")
+    ap.add_argument("--u8_pipe", action="store_true",
+                    help="run every phase with the u8 image pipe (all "
+                         "phases share the flag, so the phase-3 bitwise "
+                         "compare remains valid; BENCH_U8PIPE.json has "
+                         "the measured A/B)")
     args = ap.parse_args()
 
     corpus = os.path.join(args.work, "corpus")
@@ -304,7 +313,7 @@ def main():
               f"SIGTERM after epoch {args.preempt_epoch}")
         p1 = run_cli(out, corpus, args.batch, epochs, seed=42,
                      sigterm_after_epochs=args.preempt_epoch,
-                     log_name="phase1")
+                     log_name="phase1", u8_pipe=args.u8_pipe)
         with open(phase1_log) as f:
             ok = "preemption checkpoint saved @ step" in f.read()
         assert p1["rc"] == 0 and ok, f"drill failed: rc={p1['rc']}"
@@ -318,7 +327,8 @@ def main():
         p2 = run_cli_to_completion(out, corpus, args.batch, epochs,
                                    seed=42, resume=ckpt_dir,
                                    log_name="phase2",
-                                   rss_limit_gb=args.rss_limit_gb)
+                                   rss_limit_gb=args.rss_limit_gb,
+                                   u8_pipe=args.u8_pipe)
         print(f"phase 2 done in {p2['wall_s']}s "
               f"({p2['restarts']} watchdog resumes)")
 
@@ -333,7 +343,8 @@ def main():
         p3 = run_cli_to_completion(ref_out, corpus, args.batch, epochs,
                                    seed=42, log_name="phase3",
                                    rss_limit_gb=args.rss_limit_gb,
-                                   stop_after_epochs=args.ref_epochs)
+                                   stop_after_epochs=args.ref_epochs,
+                                   u8_pipe=args.u8_pipe)
         print(f"phase 3 done in {p3['wall_s']}s "
               f"({p3['restarts']} watchdog resumes)")
     elif not args.skip_ref:
