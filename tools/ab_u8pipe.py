@@ -8,6 +8,12 @@ steady-state step time, host-RSS growth (the tunnel transport retains
 transferred bytes, DESIGN.md "host RSS leak", so RSS slope is a direct
 proxy for H2D traffic), and per-epoch losses, into BENCH_U8PIPE.json.
 
+RSS is sampled for the direct child PID only (single-process assumption:
+the documented leak lives in the main process's transfer path; the CLI is
+run here without the mp feeder, so there are no worker processes to
+miss). If arms are ever run with `--num_workers > 0`, sum VmRSS over the
+child's process tree instead.
+
 Run:  python tools/ab_u8pipe.py [--epochs 3] [--work /tmp/ecamp_u8ab]
 """
 
@@ -62,6 +68,12 @@ def run_arm(name: str, work: str, corpus: str, batch: int, epochs: int,
             u8: bool) -> dict:
     out_dir = os.path.join(work, name)
     os.makedirs(out_dir, exist_ok=True)
+    # log.txt is append-only in the CLI; a stale one from a previous A/B
+    # into the same --work would leak its epoch_loss records into this
+    # run's artifact (ADVICE r4) — rotate it out of the way
+    stale = os.path.join(out_dir, "log.txt")
+    if os.path.exists(stale):
+        os.replace(stale, stale + ".prev")
     argv = [sys.executable, "-m", "ecamp_tpu.cli.pretrain",
             "--data_path", corpus, "--output_dir", out_dir,
             "--batch_size", str(batch), "--epochs", str(epochs),

@@ -279,6 +279,23 @@ def main():
                          "the measured A/B)")
     args = ap.parse_args()
 
+    # --u8_pipe consistency across re-invocations (ADVICE r4): the f32 and
+    # u8 pipes differ by ~1 ulp/step, so resuming phase-1/2 state produced
+    # under a different pipe silently invalidates the phase-3 bitwise
+    # compare. Pin the flag in a marker on first run; assert it after.
+    os.makedirs(args.work, exist_ok=True)
+    marker = os.path.join(args.work, "pipe_marker.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            pinned = json.load(f)["u8_pipe"]
+        assert pinned == args.u8_pipe, (
+            f"work dir {args.work} was started with u8_pipe={pinned}; "
+            f"rerun with {'--u8_pipe' if pinned else 'no --u8_pipe'} or "
+            f"use a fresh --work")
+    else:
+        with open(marker, "w") as f:
+            json.dump({"u8_pipe": args.u8_pipe}, f)
+
     corpus = os.path.join(args.work, "corpus")
     if not os.path.exists(os.path.join(corpus,
                                        "mimic-cxr-2.0.0-entity-llm.csv")):
