@@ -32,6 +32,16 @@ import jax
 import numpy as np
 
 A100_REFERENCE_IMG_PER_SEC = 250.0
+# the artifact must carry its own caveat (VERDICT r4 #4): the denominator
+# is a builder estimate, not a published reference number
+BASELINE_BASIS = ("estimated A100-40G ~250 img/s for this workload "
+                  "(reference publishes no throughput; SURVEY §6)")
+# bf16 peak of one TPU v5e (v5 lite) chip, for MFU
+V5E_PEAK_FLOPS = 197e12
+# fallback FLOPs/step basis if the backend exposes no cost_analysis():
+# measured 38% MXU utilization at 176 ms / B=96 (DESIGN.md round-2 xprof
+# profile) -> 197e12 * 0.38 * 0.176 / 96 ~= 137 GFLOP per image
+FALLBACK_FLOPS_PER_IMG = 137e9
 # measured sweet spot on v5e-1 with the round-3 layout defaults:
 # B=96 545, B=104 551, B=112 547, B=128 547 img/s;
 # ECAMP_BENCH_BATCH overrides for sweeps
@@ -99,6 +109,76 @@ def synthetic_batch(pcfg, task):
     })
 
 
+def _static_analysis(task, state, batch, key) -> dict:
+    """Compile-time XLA analysis of the flagship train step (VERDICT r4
+    #4/#7): FLOPs/step from cost_analysis() (falls back to the measured
+    xprof basis if the backend exposes none) and the static HBM bound
+    from memory_analysis() — the runtime memory_stats() is None over this
+    environment's tunneled-TPU transport, so the compile-time bound is
+    the durable record. With the persistent compile cache on, the AOT
+    lower+compile here is a cache hit of the step the timed loop runs."""
+    out = {"flops_per_step": None, "flops_basis": None,
+           "hbm_static_mb": None}
+    try:
+        compiled = task.make_train_step().lower(state, batch, key).compile()
+    except Exception as e:  # pragma: no cover - backend-dependent
+        out["flops_basis"] = f"aot compile unavailable ({type(e).__name__})"
+        return out
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            out["flops_per_step"] = flops
+            out["flops_basis"] = "xla cost_analysis"
+    except Exception:
+        pass
+    if out["flops_per_step"] is None:
+        out["flops_per_step"] = FALLBACK_FLOPS_PER_IMG * BATCH
+        out["flops_basis"] = ("measured 38% MXU @ 176ms/B=96 xprof basis "
+                              "(backend exposes no cost_analysis)")
+    try:
+        ma = compiled.memory_analysis()
+        temp = float(ma.temp_size_in_bytes)
+        args = float(ma.argument_size_in_bytes)
+        outb = float(ma.output_size_in_bytes)
+        alias = float(getattr(ma, "alias_size_in_bytes", 0.0))
+        # donated state aliases its output; peak live ~= args + temp +
+        # (non-aliased outputs)
+        out["hbm_static_mb"] = round(
+            (args + temp + max(0.0, outb - alias)) / 2**20, 1)
+        out["hbm_static_detail_mb"] = {
+            "arguments": round(args / 2**20, 1),
+            "temps": round(temp / 2**20, 1),
+            "outputs": round(outb / 2**20, 1),
+            "aliased": round(alias / 2**20, 1),
+        }
+    except Exception:  # pragma: no cover - backend-dependent
+        pass
+    return out
+
+
+def _describe(img_per_sec_per_chip: float, analysis: dict) -> dict:
+    """The self-describing tail fields of the bench JSON line."""
+    d = {
+        "vs_baseline": round(
+            img_per_sec_per_chip / A100_REFERENCE_IMG_PER_SEC, 3),
+        "baseline_basis": BASELINE_BASIS,
+        "hbm_static_mb": analysis.get("hbm_static_mb"),
+    }
+    if analysis.get("hbm_static_detail_mb"):
+        d["hbm_static_detail_mb"] = analysis["hbm_static_detail_mb"]
+    flops = analysis.get("flops_per_step")
+    if flops and img_per_sec_per_chip > 0:
+        step_s = BATCH / img_per_sec_per_chip
+        d["mfu_pct"] = round(100.0 * flops / step_s / V5E_PEAK_FLOPS, 1)
+        d["mfu_basis"] = (f"{flops / 1e12:.2f} TFLOP/step "
+                          f"({analysis['flops_basis']}) / "
+                          f"{V5E_PEAK_FLOPS / 1e12:.0f} TFLOP/s v5e bf16 peak")
+    return d
+
+
 def bench_synthetic():
     # ECAMP_BENCH_SCAN=K>1 measures the K-steps-per-dispatch lax.scan
     # train call (PretrainTask.make_train_step_scan, CLI --steps_per_call)
@@ -128,13 +208,12 @@ def bench_synthetic():
             dt = time.perf_counter() - t0
             rates.append(BATCH * scan_k * steps / dt / n_chips)
         img_per_sec_per_chip = statistics.median(rates)
-        print(json.dumps({
-            "metric": "ecamp_pretrain_images_per_sec_per_chip",
-            "value": round(img_per_sec_per_chip, 2),
-            "unit": "img/s/chip",
-            "vs_baseline": round(
-                img_per_sec_per_chip / A100_REFERENCE_IMG_PER_SEC, 3),
-        }))
+        print(json.dumps(dict(
+            {"metric": "ecamp_pretrain_images_per_sec_per_chip",
+             "value": round(img_per_sec_per_chip, 2),
+             "unit": "img/s/chip"},
+            **_describe(img_per_sec_per_chip,
+                        _static_analysis(task, state, batch, key)))))
         return img_per_sec_per_chip
     for _ in range(WARMUP):
         state, metrics = task.train_step(state, batch, key)
@@ -150,13 +229,12 @@ def bench_synthetic():
         dt = time.perf_counter() - t0
         rates.append(BATCH * STEPS / dt / n_chips)
     img_per_sec_per_chip = statistics.median(rates)
-    print(json.dumps({
-        "metric": "ecamp_pretrain_images_per_sec_per_chip",
-        "value": round(img_per_sec_per_chip, 2),
-        "unit": "img/s/chip",
-        "vs_baseline": round(img_per_sec_per_chip / A100_REFERENCE_IMG_PER_SEC,
-                             3),
-    }))
+    print(json.dumps(dict(
+        {"metric": "ecamp_pretrain_images_per_sec_per_chip",
+         "value": round(img_per_sec_per_chip, 2),
+         "unit": "img/s/chip"},
+        **_describe(img_per_sec_per_chip,
+                    _static_analysis(task, state, batch, key)))))
     return img_per_sec_per_chip
 
 
