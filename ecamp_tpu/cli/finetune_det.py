@@ -58,6 +58,12 @@ def get_args():
     p.add_argument("--start_eval", type=int, default=1,
                    help="skip eval before this epoch (train.py --start_eval)")
     p.add_argument("--stage", default="train", choices=["train", "test"])
+    p.add_argument("--u8_pipe", action="store_true",
+                   help="ship images host->device as quantized u8 1-ch "
+                        "gray and normalize + broadcast on-device — 1/12 "
+                        "the f32 bytes; quantizes the interpolated pixels "
+                        "to the nearest gray level (<=0.5/255 "
+                        "pre-normalize, tests/test_u8_pipe_finetune.py)")
     return p.parse_args()
 
 
@@ -134,7 +140,8 @@ def main():
         cls = (ObjectCXRDetectionDataset if args.task == "ObjectCXR"
                else RSNADetectionDataset)
         return cls(list_path, args.dataset_path, split,
-                   img_size=args.img_size, data_volume=args.data_volume)
+                   img_size=args.img_size, data_volume=args.data_volume,
+                   output_u8=args.u8_pipe)
 
     if args.stage == "train":
         # micro-batch = batch // accum (reference train.py semantics)

@@ -62,6 +62,13 @@ def get_args():
                    choices=["ecamp", "gloria", "random"],
                    help="pretrained-checkpoint convention for RIGA baselines (train_RIGA.py:110-138); random skips loading")
     p.add_argument("--stage", default="train", choices=["train", "test"])
+    p.add_argument("--u8_pipe", action="store_true",
+                   help="ship images host->device as quantized u8 (1-ch "
+                        "gray for SIIM/RSNA, 3-ch for RIGA) and normalize "
+                        "+ broadcast on-device — 1/12 (1/4 RIGA) the f32 "
+                        "bytes; quantizes the interpolated pixels to the "
+                        "nearest gray level (<=0.5/255 pre-normalize, "
+                        "tests/test_u8_pipe_finetune.py)")
     return p.parse_args()
 
 
@@ -120,7 +127,7 @@ def main():
             accum_steps=args.gradient_accumulation_steps),
         task=args.task, freeze_encoder=not args.no_freeze_encoder,
         patience=args.patience, bf16=not args.no_bf16, seed=args.seed,
-        data=cfg.DataConfig(img_size=args.img_size))
+        data=cfg.DataConfig(img_size=args.img_size, mean=0.4722, std=0.3028))
 
     task = SegmentationTask(scfg)
     state = task.init_state(jax.random.PRNGKey(args.seed),
@@ -133,7 +140,7 @@ def main():
     def make_ds(split):
         return ds_cls(list_path, args.dataset_path, split,
                       img_size=args.img_size, data_volume=args.data_volume,
-                      seed=args.seed)
+                      seed=args.seed, output_u8=args.u8_pipe)
 
     if args.stage == "train":
         # micro-batch = batch // accum (reference train.py:308)

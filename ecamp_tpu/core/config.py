@@ -234,7 +234,7 @@ class SegmentationConfig:
         )
     )
     mesh: MeshConfig = field(default_factory=MeshConfig)
-    data: DataConfig = field(default_factory=DataConfig)
+    data: DataConfig = field(default_factory=lambda: DataConfig(mean=0.4722, std=0.3028))
     task: str = "SIIM"           # SIIM | RSNA | RIGA
     backbone: str = "vit"        # vit | resnet50 (smp.Unet baseline path,
                                  # Segmentation/train.py:139-180)
@@ -263,7 +263,7 @@ class DetectionConfig:
         )
     )
     mesh: MeshConfig = field(default_factory=MeshConfig)
-    data: DataConfig = field(default_factory=DataConfig)
+    data: DataConfig = field(default_factory=lambda: DataConfig(mean=0.4722, std=0.3028))
     task: str = "RSNA"
     backbone: str = "vit"        # vit | resnet50 (ResNetDetector baseline,
                                  # Detection/train.py:99-131)

@@ -120,6 +120,29 @@ def _resize_img_linear(arr: np.ndarray, size: int) -> np.ndarray:
              for i in range(arr.shape[-1])], axis=-1)
 
 
+def _finish_image(img: np.ndarray, mean: float, std: float,
+                  output_u8: bool, gray: bool = True) -> np.ndarray:
+    """Final feeder step for the seg/det pipelines: host normalize
+    (default, reference albumentations semantics), or — for the u8 pipe
+    (--u8_pipe) — quantize the interpolated f32 image to u8 and ship
+    that; normalize + channel broadcast then run on-device
+    (ops/image_ops.py::device_normalize_image). Unlike the pretrain/cls
+    transforms, whose f32 path itself normalizes u8-quantized pixels,
+    these pipelines interpolate in f32 (SSR / bilinear resize), so the
+    u8 pipe rounds to the nearest gray level: a <= 0.5/255 pre-normalize
+    delta (~0.0065 post-normalize) is the documented cost of shipping
+    1/12 the bytes (tests/test_u8_pipe_finetune.py).
+
+    gray=True: x-ray sources decode via _pil_load_rgb with 3 identical
+    channels, and SSR/resize act per-channel — ship 1 channel and let the
+    device broadcast. RIGA fundus images are genuinely color: gray=False
+    ships 3-channel u8 (1/4 the bytes)."""
+    if not output_u8:
+        return normalize(img, mean, std).astype(np.float32)
+    q = np.clip(np.rint(img), 0.0, 255.0).astype(np.uint8)
+    return q[..., :1] if gray else q
+
+
 def rle2mask(rle: str, width: int, height: int) -> np.ndarray:
     """SIIM run-length decode (my_dataset.py:151-164, incl. its
     transpose/orientation convention)."""
@@ -258,7 +281,8 @@ class SIIMSegmentationDataset:
 
     def __init__(self, list_root: str, image_root: str, split: str,
                  img_size: int = 224, data_volume: str = "100",
-                 mean: float = 0.4722, std: float = 0.3028, seed: int = 0):
+                 mean: float = 0.4722, std: float = 0.3028, seed: int = 0,
+                 output_u8: bool = False):
         import pandas as pd
 
         names = {"train": {"1": "train_list_1.csv", "10": "train_list_10.csv",
@@ -283,6 +307,7 @@ class SIIMSegmentationDataset:
         self.split = split
         self.img_size = img_size
         self.mean, self.std = mean, std
+        self.output_u8 = output_u8
         self.rng = random.Random(seed)
 
     def __len__(self):
@@ -301,8 +326,8 @@ class SIIMSegmentationDataset:
         if self.split == "train":
             img, _ = shift_scale_rotate(img, None, self.rng)
         img = _resize_img_linear(img, self.img_size)
-        img = normalize(img, self.mean, self.std)
-        return {"image": img.astype(np.float32),
+        img = _finish_image(img, self.mean, self.std, self.output_u8)
+        return {"image": img,
                 "mask": mask[..., None].astype(np.float32)}
 
 
@@ -314,7 +339,8 @@ class RSNASegmentationDataset:
 
     def __init__(self, list_root: str, image_root: str, split: str,
                  img_size: int = 224, data_volume: str = "100",
-                 mean: float = 0.4722, std: float = 0.3028, seed: int = 0):
+                 mean: float = 0.4722, std: float = 0.3028, seed: int = 0,
+                 output_u8: bool = False):
         import pandas as pd
 
         names = {"train": {"1": "train_list_1.csv", "10": "train_list_10.csv",
@@ -327,6 +353,7 @@ class RSNASegmentationDataset:
         self.split = split
         self.img_size = img_size
         self.mean, self.std = mean, std
+        self.output_u8 = output_u8
         self.rng = random.Random(seed)
 
     def __len__(self):
@@ -344,8 +371,8 @@ class RSNASegmentationDataset:
             img, mask = shift_scale_rotate(img, mask, self.rng)
         img = _resize_img_linear(img, self.img_size)
         mask = _resize_img_linear(mask, self.img_size)
-        img = normalize(img, self.mean, self.std)
-        return {"image": img.astype(np.float32),
+        img = _finish_image(img, self.mean, self.std, self.output_u8)
+        return {"image": img,
                 "mask": mask[..., None].astype(np.float32)}
 
 
@@ -355,7 +382,8 @@ class RIGASegmentationDataset:
 
     def __init__(self, list_root: str, image_root: str, split: str,
                  img_size: int = 224, data_volume: str = "100",
-                 mean: float = 0.4722, std: float = 0.3028, seed: int = 0):
+                 mean: float = 0.4722, std: float = 0.3028, seed: int = 0,
+                 output_u8: bool = False):
         import pandas as pd
 
         names = {"train": {"1": "train_list_1.csv", "10": "train_list_10.csv",
@@ -369,6 +397,7 @@ class RIGASegmentationDataset:
         self.split = split
         self.img_size = img_size
         self.mean, self.std = mean, std
+        self.output_u8 = output_u8
         self.rng = random.Random(seed)
 
     def __len__(self):
@@ -387,8 +416,11 @@ class RIGASegmentationDataset:
         if self.split == "train":
             img, stacked = shift_scale_rotate(img, stacked, self.rng)
         img = _resize_img_linear(img, self.img_size)
-        img = normalize(img, self.mean, self.std)
-        return {"image": img.astype(np.float32),
+        # RIGA fundus photographs are genuinely color: the u8 pipe ships
+        # 3-channel u8 (gray=False)
+        img = _finish_image(img, self.mean, self.std, self.output_u8,
+                            gray=False)
+        return {"image": img,
                 "mask": stacked.astype(np.float32)}
 
 
@@ -405,7 +437,7 @@ class ObjectCXRDetectionDataset:
     def __init__(self, list_root: str, image_root: str, split: str,
                  img_size: int = 224, data_volume: str = "100",
                  max_objects: int = 20, mean: float = 0.4722,
-                 std: float = 0.3028):
+                 std: float = 0.3028, output_u8: bool = False):
         import pandas as pd
 
         names = {"train": {"1": "train_list_1.csv", "10": "train_list_10.csv",
@@ -418,6 +450,7 @@ class ObjectCXRDetectionDataset:
         self.img_size = img_size
         self.max_objects = max_objects
         self.mean, self.std = mean, std
+        self.output_u8 = output_u8
 
     def __len__(self):
         return len(self.names)
@@ -427,12 +460,12 @@ class ObjectCXRDetectionDataset:
         img = np.asarray(_pil_load_rgb(os.path.join(self.image_dir, name)),
                          np.float32)
         img = _resize_img_linear(img, self.img_size)
-        img = normalize(img, self.mean, self.std)
+        img = _finish_image(img, self.mean, self.std, self.output_u8)
         y = np.load(os.path.join(self.image_dir, name + ".npy"))
         out = np.zeros((self.max_objects, 5), np.float32)
         n = min(len(y), self.max_objects)
         out[:n] = y[:n, :5]
-        return {"image": img.astype(np.float32), "target": out}
+        return {"image": img, "target": out}
 
 
 class RSNADetectionDataset:
@@ -443,7 +476,7 @@ class RSNADetectionDataset:
     def __init__(self, list_root: str, image_root: str, split: str,
                  img_size: int = 224, data_volume: str = "100",
                  max_objects: int = 10, mean: float = 0.4722,
-                 std: float = 0.3028):
+                 std: float = 0.3028, output_u8: bool = False):
         import pandas as pd
 
         names = {"train": {"1": "train_list_1.csv", "10": "train_list_10.csv",
@@ -456,6 +489,7 @@ class RSNADetectionDataset:
         self.img_size = img_size
         self.max_objects = max_objects
         self.mean, self.std = mean, std
+        self.output_u8 = output_u8
 
     def __len__(self):
         return len(self.img_paths)
@@ -464,7 +498,7 @@ class RSNADetectionDataset:
         img = np.asarray(_pil_load_rgb(self.img_paths[i]), np.float32)
         h, w = img.shape[:2]
         img = _resize_img_linear(img, self.img_size)
-        img = normalize(img, self.mean, self.std)
+        img = _finish_image(img, self.mean, self.std, self.output_u8)
 
         bbox = np.asarray(ast.literal_eval(self.raw_bboxes[i]), np.float32)
         out = np.zeros((self.max_objects, 5), np.float32)
@@ -475,4 +509,4 @@ class RSNADetectionDataset:
             bw = (bbox[:n, 2] - bbox[:n, 0]) / w
             bh = (bbox[:n, 3] - bbox[:n, 1]) / h
             out[:n, 1], out[:n, 2], out[:n, 3], out[:n, 4] = cx, cy, bw, bh
-        return {"image": img.astype(np.float32), "target": out}
+        return {"image": img, "target": out}

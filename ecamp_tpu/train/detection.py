@@ -77,6 +77,12 @@ class DetectionTask:
         return place_finetune_state(self.mesh, state)
 
     def _loss(self, params, batch_stats, images, targets, dropout_rng):
+        from ..ops.image_ops import device_normalize_image
+
+        # u8 pipe (--u8_pipe): quantized u8 shipped, normalize + channel
+        # broadcast on-device; passthrough for the default f32 feeder
+        images = device_normalize_image(images, self.cfg.data.mean,
+                                        self.cfg.data.std)
         outs, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
             train=True, mutable=["batch_stats"],
@@ -114,7 +120,11 @@ class DetectionTask:
         return self._train_step(state, images, targets)
 
     def make_eval_step(self):
+        from ..ops.image_ops import device_normalize_image
+
         def eval_fn(params, batch_stats, images):
+            images = device_normalize_image(images, self.cfg.data.mean,
+                                            self.cfg.data.std)
             outs = self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, images,
                 train=False)

@@ -95,6 +95,12 @@ class SegmentationTask:
         return place_finetune_state(self.mesh, state)
 
     def _loss(self, params, batch_stats, images, masks, dropout_rng):
+        from ..ops.image_ops import device_normalize_image
+
+        # u8 pipe (--u8_pipe): quantized u8 shipped, normalize + channel
+        # broadcast on-device; passthrough for the default f32 feeder
+        images = device_normalize_image(images, self.cfg.data.mean,
+                                        self.cfg.data.std)
         kwargs = ({} if self.resnet
                   else {"stop_trunk_grad": self.cfg.freeze_encoder})
         out, mutated = self.model.apply(
@@ -136,7 +142,11 @@ class SegmentationTask:
         return self._train_step(state, images, masks)
 
     def make_eval_step(self):
+        from ..ops.image_ops import device_normalize_image
+
         def eval_fn(params, batch_stats, images):
+            images = device_normalize_image(images, self.cfg.data.mean,
+                                            self.cfg.data.std)
             out = self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, images,
                 train=False)

@@ -29,7 +29,8 @@ def toy_siim(tmp_path):
     return tmp_path
 
 
-def test_finetune_seg_cli(toy_siim, tmp_path, monkeypatch, capsys):
+@pytest.mark.parametrize("u8", [False, True])
+def test_finetune_seg_cli(toy_siim, tmp_path, monkeypatch, capsys, u8):
     from ecamp_tpu.cli import finetune_seg
 
     out = tmp_path / "out"
@@ -40,6 +41,8 @@ def test_finetune_seg_cli(toy_siim, tmp_path, monkeypatch, capsys):
             "--batch_size", "4", "--eval_batch_size", "2",
             "--num_steps", "2", "--warmup_steps", "1",
             "--num_workers", "2", "--output_dir", str(out), "--no_bf16"]
+    if u8:
+        argv.append("--u8_pipe")
     monkeypatch.setattr(sys, "argv", argv)
     finetune_seg.main()
     captured = capsys.readouterr().out
@@ -99,7 +102,8 @@ def test_finetune_det_cli_objectcxr(tmp_path, monkeypatch, capsys):
     assert "TEST mAP" in capsys.readouterr().out
 
 
-def test_finetune_det_cli(toy_rsna_det, tmp_path, monkeypatch, capsys):
+@pytest.mark.parametrize("u8", [False, True])
+def test_finetune_det_cli(toy_rsna_det, tmp_path, monkeypatch, capsys, u8):
     from ecamp_tpu.cli import finetune_det
 
     out = tmp_path / "out"
@@ -110,6 +114,8 @@ def test_finetune_det_cli(toy_rsna_det, tmp_path, monkeypatch, capsys):
             "--batch_size", "4", "--eval_batch_size", "2",
             "--num_steps", "2", "--warmup_steps", "1", "--start_eval", "1",
             "--num_workers", "2", "--output_dir", str(out), "--no_bf16"]
+    if u8:
+        argv.append("--u8_pipe")
     monkeypatch.setattr(sys, "argv", argv)
     finetune_det.main()
     captured = capsys.readouterr().out
