@@ -53,7 +53,7 @@ def parse_phase_segments(run_dir: str, stem: str):
 
 
 def harvest(work: str, steps: int, batch: int, steps_per_epoch: int,
-            out: str) -> dict:
+            out: str, hbm_static: float = None) -> dict:
     run = os.path.join(work, "run")
     ref = os.path.join(work, "ref")
     p1, preempt_step = parse_phase(os.path.join(run, "phase1.log"))
@@ -139,6 +139,17 @@ def harvest(work: str, steps: int, batch: int, steps_per_epoch: int,
                     "of run/ref; small-scale bitwise resume is covered by "
                     "tests/test_preemption.py::test_pretrain_preempt_resume"}
 
+    # static HBM bound (VERDICT r4 #7): runtime memory_stats() is None
+    # over this environment's tunneled transport (max_mem_mb above stays
+    # 0.0), so carry XLA's compile-time bound for the flagship step
+    # instead. bench.py emits it per-run; reuse its last recorded value
+    # when present rather than paying a full B=104 AOT compile here.
+    result["hbm_static_mb"] = hbm_static
+    if hbm_static is None:
+        result["hbm_static_note"] = ("pass --hbm_static_mb (from bench.py's "
+                                     "hbm_static_mb field) to record the "
+                                     "compile-time bound")
+
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     brief = {kk: vv for kk, vv in result.items() if kk != "step_time"}
@@ -155,9 +166,12 @@ def main():
     ap.add_argument("--batch", type=int, default=104)
     ap.add_argument("--steps_per_epoch", type=int, default=20)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_BURNIN.json"))
+    ap.add_argument("--hbm_static_mb", type=float, default=None,
+                    help="compile-time HBM bound of the flagship step "
+                         "(bench.py's hbm_static_mb field)")
     args = ap.parse_args()
     harvest(args.work, args.steps, args.batch, args.steps_per_epoch,
-            args.out)
+            args.out, hbm_static=args.hbm_static_mb)
 
 
 if __name__ == "__main__":
