@@ -195,10 +195,13 @@ def main():
                                      len(train_loader), accum=accum)
         state, micro, step, epoch, skip_micro = preempt.resume(state, stopper)
 
+        import time as _time
+
         while step < args.num_steps and not stopper.should_stop:
             train_loader.set_epoch(epoch)
             batch_iter = skip_micro_batches(iter(train_loader), skip_micro)
             skip_micro = 0
+            _t0, _n0 = _time.perf_counter(), micro
             for batch in batch_iter:
                 labels = batch["label"]
                 if not multilabel:
@@ -240,6 +243,11 @@ def main():
                                         {"params": jax.device_get(state.params)})
                     if stopper.should_stop or step >= args.num_steps:
                         break
+            _dt, _dn = _time.perf_counter() - _t0, micro - _n0
+            if _dn > 0:  # per-epoch wall timing (pretrain-CLI style line;
+                # parsed by tools/ab_u8pipe_finetune.py)
+                print(f"Epoch [{epoch}]  Total time: {_dt:.1f}s "
+                      f"({_dt / _dn:.4f} s/it)", flush=True)
             epoch += 1
         preempt.finish()
 
