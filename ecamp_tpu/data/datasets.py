@@ -65,6 +65,15 @@ def resize_pad_square(arr: np.ndarray, scale: int) -> np.ndarray:
                   [(0, 0)] * (arr.ndim - 2), constant_values=0)
 
 
+def _reseed_rng(self, epoch: int, worker_id: int) -> None:
+    """Shared DataLoader worker-protocol body (data/loader.py): rebind
+    `self.rng` to a per-(epoch, worker)-deterministic stream so
+    augmentation draws are independent of worker scheduling. Same
+    derivation as PretrainReportDataset.reseed."""
+    base = (self.seed * 1_000_003 + epoch) * 1_000_003 + worker_id
+    self.rng = random.Random(base)
+
+
 def shift_scale_rotate(img: np.ndarray, mask: Optional[np.ndarray],
                        rng: random.Random, scale_limit: float = 0.1,
                        rotate_limit: float = 10.0, p: float = 0.5
@@ -184,6 +193,12 @@ class ClassificationListDataset:
                      np.asarray([int(v) for v in items[1:]], np.float32)))
         self.transform = transform
 
+    def reseed(self, epoch: int, worker_id: int) -> None:
+        """DataLoader worker protocol: the only stateful RNG here is the
+        train transform's crop/flip stream."""
+        if hasattr(self.transform, "reseed"):
+            self.transform.reseed(epoch, worker_id)
+
     def __len__(self):
         return len(self.samples)
 
@@ -252,7 +267,7 @@ class PretrainReportDataset:
         relies on the same property for resumable shuffling)."""
         base = (self.seed * 1_000_003 + epoch) * 1_000_003 + worker_id
         self.rng = random.Random(base)
-        self.transform.rng = random.Random(base + 500_009)
+        self.transform.reseed(epoch, worker_id)
         # spawn-context workers receive the dataset pickled WITHOUT the
         # ctypes tokenizer handle — re-attach the C++ fast path here
         self.tokenizer.enable_native()
@@ -308,7 +323,10 @@ class SIIMSegmentationDataset:
         self.img_size = img_size
         self.mean, self.std = mean, std
         self.output_u8 = output_u8
+        self.seed = seed
         self.rng = random.Random(seed)
+
+    reseed = _reseed_rng
 
     def __len__(self):
         return len(self.img_ids)
@@ -354,7 +372,10 @@ class RSNASegmentationDataset:
         self.img_size = img_size
         self.mean, self.std = mean, std
         self.output_u8 = output_u8
+        self.seed = seed
         self.rng = random.Random(seed)
+
+    reseed = _reseed_rng
 
     def __len__(self):
         return len(self.img_paths)
@@ -398,7 +419,10 @@ class RIGASegmentationDataset:
         self.img_size = img_size
         self.mean, self.std = mean, std
         self.output_u8 = output_u8
+        self.seed = seed
         self.rng = random.Random(seed)
+
+    reseed = _reseed_rng
 
     def __len__(self):
         return len(self.img_paths)

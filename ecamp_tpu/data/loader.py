@@ -12,9 +12,9 @@ across hosts), strided per-process shard, drop_last.
 
 from __future__ import annotations
 
+import copy
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, Iterator
 
 import numpy as np
@@ -63,10 +63,12 @@ class DataLoader:
         bounded mp.Queue; the consumer restores deterministic batch
         order. Stateful per-sample RNG follows torch worker semantics
         via the optional dataset `reseed(epoch, worker_id)` protocol —
-        each worker gets an independent, per-epoch-deterministic stream,
-        so augmentation draws differ from thread mode (exactly as
-        changing torch num_workers does) but are reproducible
-        run-to-run and across preemption resume."""
+        each worker gets an independent, per-epoch-deterministic stream.
+        Thread mode (the default) applies the SAME contract via
+        `_worker_dataset` copies, so at equal worker count both modes
+        produce identical batches; draws change with the worker count
+        (exactly as changing torch num_workers does) but are
+        reproducible run-to-run and across preemption resume."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -123,44 +125,85 @@ class DataLoader:
         if self.mp_workers > 0:
             yield from self._iter_processes(batches)
             return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        yield from self._iter_threads(batches)
+
+    def _worker_dataset(self, wid: int):
+        """Per-worker dataset view for thread mode: a shallow copy whose
+        stateful RNG streams are re-seeded per (epoch, worker) via the
+        dataset `reseed` protocol — the same scheme `_mp_worker` gets for
+        free from the process fork. A SHARED dataset RNG consumed from
+        the old thread pool was scheduling-dependent: which thread drew
+        next depended on decode timing, so same-seed runs diverged
+        (caught by the round-5 burn-in's phase-3 bitwise compare). The
+        copy is shallow — heavy read-only state (image lists, tokenizer,
+        mmap'd CSVs) stays shared; only the RNG objects are rebound, so
+        the transform (whose `rng` reseed rebinds) is copied too."""
+        d = copy.copy(self.dataset)
+        t = getattr(d, "transform", None)
+        if t is not None:
+            d.transform = copy.copy(t)
+        if hasattr(d, "reseed"):
+            d.reseed(self.epoch, wid)
+        return d
+
+    def _iter_threads(self, batches) -> Iterator[Dict[str, np.ndarray]]:
+        """Thread-pool producer with the SAME deterministic contract as
+        `_iter_processes`: worker w builds whole batches w, w+K, ... from
+        its own per-(epoch, worker)-seeded dataset view, and the consumer
+        restores batch order. Augmentation draws are therefore a pure
+        function of (seed, epoch, num_workers, batch index) — identical
+        run-to-run, identical to mp mode at equal K, and replayable
+        across preemption resume (cli/pretrain.py islice skip)."""
+        K = self.num_workers
+        out_q: "queue.Queue" = queue.Queue(maxsize=max(2, self.prefetch))
         stop = threading.Event()
 
         def put(item) -> bool:
             # bounded put that keeps checking `stop`: an abandoned iterator
-            # must not leave this thread parked forever in q.put
+            # must not leave worker threads parked forever in q.put
             while not stop.is_set():
                 try:
-                    q.put(item, timeout=0.1)
+                    out_q.put(item, timeout=0.1)
                     return True
                 except queue.Full:
                     continue
             return False
 
-        def producer():
+        def work(wid: int):
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in batches:
-                        if stop.is_set():
-                            return
-                        samples = list(pool.map(self.dataset.__getitem__, b))
-                        if not put(self.collate(samples)):
-                            return
-                put(None)
-            except BaseException as e:  # noqa: BLE001 - re-raised by consumer
-                put(_ProducerError(e))
+                ds = self._worker_dataset(wid)
+                for bi in range(wid, len(batches), K):
+                    samples = [ds[i] for i in batches[bi]]
+                    if not put((bi, self.collate(samples))):
+                        return
+                put((-1, wid))
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                put((-2, _ProducerError(e)))
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        threads = [threading.Thread(target=work, args=(w,), daemon=True)
+                   for w in range(K)]
+        for t in threads:
+            t.start()
         try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                if isinstance(item, _ProducerError):
+            buffered: Dict[int, Dict[str, np.ndarray]] = {}
+            nxt, done = 0, 0
+            while nxt < len(batches):
+                if nxt in buffered:
+                    yield buffered.pop(nxt)
+                    nxt += 1
+                    continue
+                if done == K:
                     raise RuntimeError(
-                        "DataLoader worker failed") from item.exc
-                yield item
+                        f"DataLoader workers exited early: batch {nxt} "
+                        f"of {len(batches)} never arrived")
+                tag, payload = out_q.get()
+                if tag == -1:
+                    done += 1
+                elif tag == -2:
+                    raise RuntimeError(
+                        "DataLoader worker failed") from payload.exc
+                else:
+                    buffered[tag] = payload
         finally:
             stop.set()
 

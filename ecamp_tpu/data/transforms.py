@@ -114,10 +114,17 @@ class TrainTransform:
         self.std = std
         self.scale = scale
         self.interpolation = interpolation
+        self.seed = seed
         self.rng = random.Random(seed)
         self.use_native = use_native
         self.draft = draft
         self.output_u8 = output_u8
+
+    def reseed(self, epoch: int, worker_id: int) -> None:
+        """DataLoader worker protocol (data/loader.py): rebind the crop/
+        flip stream to a per-(epoch, worker)-deterministic one."""
+        base = (self.seed * 1_000_003 + epoch) * 1_000_003 + worker_id
+        self.rng = random.Random(base + 500_009)
 
     def _emit(self, img, box, flip: bool) -> np.ndarray:
         """Finish one sample from the decoded image + sampled box/flip:

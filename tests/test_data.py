@@ -4,6 +4,7 @@ reference asset, entity masking semantics, transforms, loader, datasets."""
 import json
 import os
 import random
+import time
 
 import numpy as np
 import pytest
@@ -468,3 +469,65 @@ def test_mp_loader_reseed_protocol(tmp_path):
     assert not all(
         np.array_equal(np.asarray(a[i]["image"]),
                        np.asarray(c[i]["image"])) for i in range(2))
+
+
+class _JitterRngDataset:
+    """Stateful-RNG dataset with scheduling jitter: each fetch sleeps a
+    non-deterministic duration (os.urandom, outside any seeded stream)
+    and then draws from self.rng. Under the pre-fix thread pool the draw
+    order followed thread timing, so same-seed iterations diverged —
+    the failure the round-5 burn-in's phase-3 bitwise compare caught."""
+
+    def __init__(self, n, seed=0):
+        self.n = n
+        self.seed = seed
+        self.rng = random.Random(seed)
+
+    def reseed(self, epoch, worker_id):
+        base = (self.seed * 1_000_003 + epoch) * 1_000_003 + worker_id
+        self.rng = random.Random(base)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        time.sleep(os.urandom(1)[0] / 10000.0)  # 0-25 ms, scheduler noise
+        return {"x": np.array([i], np.int64),
+                "r": np.array([self.rng.random()], np.float64)}
+
+
+def test_thread_loader_rng_deterministic_under_scheduling():
+    """Thread mode must give every worker its own per-(epoch, worker)
+    stream (the `reseed` protocol), making augmentation draws a pure
+    function of (seed, epoch, K, batch index) — identical run-to-run
+    despite timing jitter, and identical to mp mode at equal K."""
+    from ecamp_tpu.data.loader import DataLoader
+
+    kw = dict(batch_size=5, shuffle=True, seed=7, drop_last=True)
+    runs = []
+    for _ in range(2):
+        loader = DataLoader(_JitterRngDataset(30), num_workers=3, **kw)
+        loader.set_epoch(4)
+        runs.append([(b["x"].ravel().tolist(), b["r"].ravel().tolist())
+                     for b in loader])
+    assert runs[0] == runs[1] and len(runs[0]) == 6
+
+    mp_loader = DataLoader(_JitterRngDataset(30), mp_workers=3,
+                           mp_context="fork", **kw)
+    mp_loader.set_epoch(4)
+    got = [(b["x"].ravel().tolist(), b["r"].ravel().tolist())
+           for b in mp_loader]
+    assert got == runs[0]
+
+
+def test_thread_loader_reseeds_per_worker():
+    """Each thread worker reseeds its own dataset view with (epoch, wid);
+    the original dataset object's RNG is never consumed."""
+    from ecamp_tpu.data.loader import DataLoader
+
+    ds = _IdxDataset(24)
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=3)
+    loader.set_epoch(5)
+    list(loader)
+    # shallow worker copies share the `reseeds` list with the original
+    assert sorted(ds.reseeds) == [(5, 0), (5, 1), (5, 2)]

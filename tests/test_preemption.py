@@ -93,7 +93,8 @@ def test_guard_rss_watchdog():
         guard.uninstall()
 
 
-def _tiny_pretrain(monkeypatch, corpus, out, epochs=2, resume=None):
+def _tiny_pretrain(monkeypatch, corpus, out, epochs=2, resume=None,
+                   num_workers=0):
     from ecamp_tpu.cli import pretrain
     from ecamp_tpu.core import config as cfg
 
@@ -101,8 +102,8 @@ def _tiny_pretrain(monkeypatch, corpus, out, epochs=2, resume=None):
             "--batch_size", "8", "--epochs", str(epochs), "--max_epoch", "4",
             "--warmup_epochs", "1", "--input_size", "64",
             "--max_caption_length", "16",
-            "--num_workers", "0", "--output_dir", str(out), "--no_bf16",
-            "--print_freq", "1"]
+            "--num_workers", str(num_workers), "--output_dir", str(out),
+            "--no_bf16", "--print_freq", "1"]
     if resume:
         argv += ["--resume", str(resume)]
     monkeypatch.setattr(sys, "argv", argv)
@@ -168,6 +169,46 @@ def test_preempt_resume_bitwise(toy_mimic32, tmp_path, monkeypatch, capsys):
     log = (pre_out / "log.txt").read_text().strip().splitlines()
     rec = json.loads(log[-1])
     assert rec["epoch"] == 1 and np.isfinite(rec["loss"])
+
+
+def test_preempt_resume_bitwise_midrun_threads(toy_mimic32, tmp_path,
+                                               monkeypatch, capsys):
+    """Preempt at step 6 (mid-epoch 1) with a 2-thread feeder and require
+    bitwise equality with an uninterrupted same-seed run — the burn-in
+    phase-3 contract at small scale. This exercises both round-5 fixes:
+    per-(epoch, worker) thread RNG streams (scheduling-independent draws)
+    and epoch>0 resume replay (a fresh process must reproduce epoch 1's
+    streams without having consumed epoch 0's)."""
+    from ecamp_tpu.ckpt import latest_step, restore_checkpoint
+
+    ref_out = tmp_path / "ref"
+    _tiny_pretrain(monkeypatch, toy_mimic32, ref_out, num_workers=2)
+    ref_dir = str(ref_out / "ckpt")
+    assert latest_step(ref_dir) == 8
+
+    pre_out = tmp_path / "pre"
+    monkeypatch.setenv("ECAMP_PREEMPT_AT_STEP", "6")
+    _tiny_pretrain(monkeypatch, toy_mimic32, pre_out, num_workers=2)
+    monkeypatch.delenv("ECAMP_PREEMPT_AT_STEP")
+    msg = capsys.readouterr().out
+    assert "preemption checkpoint saved @ step 6 (epoch 1)" in msg
+    ck = str(pre_out / "ckpt")
+    assert latest_step(ck) == 6
+
+    _tiny_pretrain(monkeypatch, toy_mimic32, pre_out, resume=ck,
+                   num_workers=2)
+    assert latest_step(ck) == 8
+
+    import jax
+
+    ref = restore_checkpoint(ref_dir, 8)
+    res = restore_checkpoint(ck, 8)
+    for group in ("params", "opt_state"):
+        mism = [str(k) for (k, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(ref[group]),
+            jax.tree_util.tree_leaves(res[group]))
+            if not np.array_equal(np.asarray(a), np.asarray(b))]
+        assert not mism, f"{group} differ after mid-epoch-1 resume: {mism[:5]}"
 
 
 def test_rss_watchdog_checkpoint_exit_and_resume(toy_mimic32, tmp_path,
