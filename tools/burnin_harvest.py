@@ -94,12 +94,19 @@ def harvest(work: str, steps: int, batch: int, steps_per_epoch: int,
         for e, s in sit_all:
             by_epoch.setdefault(e, s)
         steady = sorted(by_epoch.items())
-        first = float(np.median([s for _, s in steady[:k]]))
-        last = float(np.median([s for _, s in steady[-k:]]))
+        # the drift windows measure STEADY-state degradation, so exclude
+        # the warm-up epochs (remote compile + feeder/page-cache warm-up
+        # dominate epochs 0-1 and would read as a large fake negative
+        # drift); same convention as tools/ab_u8pipe.py's steady window
+        warm = [(e, s) for e, s in steady if e >= 2] or steady
+        first = float(np.median([s for _, s in warm[:k]]))
+        last = float(np.median([s for _, s in warm[-k:]]))
         result["step_time"] = {
             "first_window_s_it": round(first, 4),
             "last_window_s_it": round(last, 4),
             "drift_pct": round(100.0 * (last - first) / first, 2),
+            "drift_basis": "median of first/last 10 epochs, warm-up "
+                           "epochs 0-1 excluded",
             "all_epochs": [[e, s] for e, s in sit_all]}
 
     logpath = os.path.join(run, "log.txt")
