@@ -42,6 +42,17 @@ def device_normalize(batch: Dict, mean: float, std: float) -> Dict:
 class PretrainTask:
     def __init__(self, cfg: cfglib.PretrainConfig, mesh=None,
                  steps_per_epoch: int = 1):
+        if cfg.data.img_size != cfg.vit.img_size * cfg.sr_scale:
+            # the SR branch reconstructs the full-resolution input from
+            # the encoder-resolution view (reference run.sh: 448 -> 224
+            # with sr_scale=2); any other pairing fails deep in the SR
+            # loss with an opaque broadcast error
+            raise ValueError(
+                f"PretrainConfig: data.img_size ({cfg.data.img_size}) "
+                f"must equal vit.img_size * sr_scale "
+                f"({cfg.vit.img_size} * {cfg.sr_scale} = "
+                f"{cfg.vit.img_size * cfg.sr_scale}); pass --input_size "
+                f"matching the model, or a ViTConfig sized input/sr_scale")
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         self.steps_per_epoch = steps_per_epoch
