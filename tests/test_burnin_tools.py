@@ -142,3 +142,35 @@ def test_harvest_step_time_windows_and_drift(tmp_path):
     assert st["first_window_s_it"] == pytest.approx(4.0)
     assert st["last_window_s_it"] == pytest.approx(3.0)
     assert st["drift_pct"] == pytest.approx(-25.0)
+
+
+def test_run_cli_to_completion_resume_stop_accounting(monkeypatch,
+                                                      tmp_path):
+    """Phase-3 idempotence (round 5): when a prior driver invocation
+    already logged epochs 0..k, a resumed run_cli_to_completion must
+    SIGTERM after the same ABSOLUTE epoch a fresh run would — the
+    epochs_done_on_disk set counts toward stop_after_epochs, so the
+    first segment's sigterm_after_epochs budget shrinks accordingly."""
+    import burnin
+
+    calls = []
+
+    def fake_run_cli(out_dir, corpus, batch, epochs, seed, resume="",
+                     sigterm_after_epochs=-1, log_name="run",
+                     rss_limit_gb=0.0, u8_pipe=False):
+        calls.append(dict(resume=resume, sig=sigterm_after_epochs))
+        # pretend the child ran epochs 3..6 then got the drill SIGTERM
+        log = os.path.join(out_dir, f"{log_name}.log")
+        _write(log, "".join(_epoch_line(e, 1.0) for e in range(3, 7)))
+        return {"rc": 0, "s_it": [(e, 1.0) for e in range(3, 7)],
+                "wall_s": 1.0, "terminated": True, "log": log}
+
+    monkeypatch.setattr(burnin, "run_cli", fake_run_cli)
+    out = str(tmp_path / "ref")
+    os.makedirs(out, exist_ok=True)
+    r = burnin.run_cli_to_completion(
+        out, "corpus", 8, 10, seed=42, resume="CK", log_name="phase3",
+        stop_after_epochs=7, epochs_done_on_disk={0, 1, 2})
+    assert r["rc"] == 0
+    # 3 epochs already on disk -> first segment's budget is 7-3=4
+    assert calls[0]["sig"] == 4 and calls[0]["resume"] == "CK"

@@ -159,7 +159,8 @@ def run_cli_to_completion(out_dir: str, corpus: str, batch: int,
                           rss_limit_gb: float = 55.0,
                           stop_after_epochs: int = -1,
                           max_segments: int = 20,
-                          u8_pipe: bool = False) -> dict:
+                          u8_pipe: bool = False,
+                          epochs_done_on_disk=()) -> dict:
     """run_cli in resumable segments: the host-RSS watchdog (remote-TPU
     per-transfer host leak, DESIGN.md "host RSS leak") makes the child
     checkpoint-and-exit before the kernel OOM killer would SIGKILL it;
@@ -172,7 +173,10 @@ def run_cli_to_completion(out_dir: str, corpus: str, batch: int,
     bitwise, but only needs to reach the shared cadence checkpoint)."""
     ckpt_dir = os.path.join(os.path.abspath(out_dir), "ckpt")
     sit, wall, restarts = [], 0.0, 0
-    done_epochs = set()
+    # epochs completed by a PREVIOUS driver invocation (read from the
+    # run's JSONL) count toward stop_after_epochs, so a resumed phase
+    # stops at the same absolute epoch a fresh one would
+    done_epochs = set(epochs_done_on_disk)
 
     def free_name(base: str) -> str:
         # never clobber a previous invocation's segment log: the harvest
@@ -357,11 +361,21 @@ def main():
     # resume is state-exact at multiple distinct interruption points.
     if not args.skip_ref and last_epoch(ref_out) < args.ref_epochs - 1:
         print(f"phase 3: reference run to epoch {args.ref_epochs}")
+        # idempotence: a prior cut-short invocation leaves cadence
+        # checkpoints under ref/ckpt — resume from them instead of
+        # restarting the reference run at epoch 0, and count the
+        # epochs it already logged toward the stop condition
+        ref_ck = os.path.join(os.path.abspath(ref_out), "ckpt")
+        prior = {r["epoch"] for r in read_jsonl(ref_out)}
+        has_ck = os.path.isdir(ref_ck) and any(
+            d.isdigit() for d in os.listdir(ref_ck))
         p3 = run_cli_to_completion(ref_out, corpus, args.batch, epochs,
                                    seed=42, log_name="phase3",
+                                   resume=ref_ck if has_ck else "",
                                    rss_limit_gb=args.rss_limit_gb,
                                    stop_after_epochs=args.ref_epochs,
-                                   u8_pipe=args.u8_pipe)
+                                   u8_pipe=args.u8_pipe,
+                                   epochs_done_on_disk=prior)
         print(f"phase 3 done in {p3['wall_s']}s "
               f"({p3['restarts']} watchdog resumes)")
     elif not args.skip_ref:
