@@ -174,3 +174,76 @@ def test_run_cli_to_completion_resume_stop_accounting(monkeypatch,
     assert r["rc"] == 0
     # 3 epochs already on disk -> first segment's budget is 7-3=4
     assert calls[0]["sig"] == 4 and calls[0]["resume"] == "CK"
+
+
+def test_harvest_prefers_signal_drill_across_phase1_segments(tmp_path):
+    """An RSS-watchdog exit in phase1.log also prints a generic
+    preemption line; the drill record must prefer the [signal]-suffixed
+    line, wherever in the phase1* segment logs it appears."""
+    work = _make_work(tmp_path, epochs_p1=2, preempt_step=None,
+                      jsonl_epochs=[0, 1, 2, 3])
+    run = os.path.join(work, "run")
+    _write(os.path.join(run, "phase1.log"),
+           _epoch_line(0, 2.0)
+           + "preemption checkpoint saved @ step 25 (epoch 1); resume "
+             "with --resume /x/ckpt [host RSS 60001 MB > limit 56320 MB]\n")
+    _write(os.path.join(run, "phase1_r1.log"),
+           _epoch_line(1, 2.0)
+           + "preemption checkpoint saved @ step 41 (epoch 2); resume "
+             "with --resume /x/ckpt [signal]\n")
+    out = os.path.join(work, "B.json")
+    r = harvest(work, 80, 8, 20, out)
+    assert r["drill"]["preempt_step"] == 41
+    assert r["drill"]["sigterm_delivered"] is True
+
+
+def test_phase1_resumes_across_watchdog_exit(monkeypatch, tmp_path):
+    """tools/burnin.py main's phase-1 loop: an RSS-watchdog exit before
+    the drill is resumed (with the remaining SIGTERM budget) until the
+    [signal] drill lands."""
+    import burnin
+
+    work = str(tmp_path)
+    corpus = os.path.join(work, "corpus")
+    os.makedirs(corpus, exist_ok=True)
+    _write(os.path.join(corpus, "mimic-cxr-2.0.0-entity-llm.csv"), "x\n")
+    _write(os.path.join(corpus, "corpus_meta.json"),
+           json.dumps({"n_images": 160, "side": 64}))
+    calls = []
+
+    def fake_run_cli(out_dir, corpus_, batch, epochs, seed, resume="",
+                     sigterm_after_epochs=-1, log_name="phase1",
+                     rss_limit_gb=0.0, u8_pipe=False):
+        calls.append(dict(sig=sigterm_after_epochs, resume=resume,
+                          rss=rss_limit_gb, log=log_name))
+        log = os.path.join(out_dir, f"{log_name}.log")
+        if len(calls) == 1:  # watchdog exit after 2 epochs, no drill
+            _write(log, _epoch_line(0, 1.0) + _epoch_line(1, 1.0)
+                   + "preemption checkpoint saved @ step 40 (epoch 1); "
+                     "resume with --resume CK [host RSS 9 MB > limit 1 MB]\n")
+            sit = [(0, 1.0), (1, 1.0)]
+        else:  # resumed segment delivers the drill
+            _write(log, _epoch_line(2, 1.0)
+                   + "preemption checkpoint saved @ step 41 (epoch 2); "
+                     "resume with --resume CK [signal]\n")
+            sit = [(2, 1.0)]
+        return {"rc": 0, "s_it": sit, "wall_s": 1.0,
+                "terminated": len(calls) > 1, "log": log}
+
+    def fake_completion(*a, **kw):
+        return {"rc": 0, "s_it": [], "wall_s": 0.0, "restarts": 0,
+                "log": None}
+
+    monkeypatch.setattr(burnin, "run_cli", fake_run_cli)
+    monkeypatch.setattr(burnin, "run_cli_to_completion", fake_completion)
+    monkeypatch.setattr(sys, "argv",
+                        ["burnin", "--steps", "80", "--batch", "8",
+                         "--corpus_images", "160", "--preempt_epoch", "3",
+                         "--skip_ref", "--work", work])
+    # keep the artifact write inside tmp
+    monkeypatch.setattr(burnin, "REPO", work)
+    burnin.main()
+    assert len(calls) == 2
+    assert calls[0]["sig"] == 3 and calls[0]["rss"] == 55.0
+    # 2 epochs done on disk-log basis after segment 1 -> remaining budget 1
+    assert calls[1]["sig"] == 1 and calls[1]["resume"].endswith("ckpt")

@@ -320,24 +320,53 @@ def main():
     # re-run with the same --work and picks up where the state on disk
     # says it left off.
 
-    # phase 1: run + SIGTERM drill
-    phase1_log = os.path.join(out, "phase1.log")
-    drill_done = False
-    if os.path.exists(phase1_log):
-        with open(phase1_log) as f:
-            drill_done = ("preemption checkpoint saved @ step"
-                          in f.read())
-    if drill_done:
-        print("phase 1: already complete (drill recorded in phase1.log)")
+    # phase 1: run + SIGTERM drill. The drill is specifically the
+    # SIGNAL-triggered preemption ("[signal]" reason suffix) — an
+    # RSS-watchdog checkpoint-exit also prints a "preemption checkpoint
+    # saved" line but is NOT the drill, so phase 1 runs with the
+    # watchdog armed and auto-resumes across watchdog exits until the
+    # real drill lands (same segment scheme as run_cli_to_completion).
+    import glob
+
+    drill_re = re.compile(
+        r"preemption checkpoint saved @ step \d+ .*\[signal\]")
+
+    def drill_recorded() -> bool:
+        for p in glob.glob(os.path.join(out, "phase1*.log")):
+            with open(p) as f:
+                if drill_re.search(f.read()):
+                    return True
+        return False
+
+    if drill_recorded():
+        print("phase 1: already complete (drill recorded)")
     else:
         print(f"phase 1: {epochs} epochs x {steps_per_epoch} steps, "
               f"SIGTERM after epoch {args.preempt_epoch}")
-        p1 = run_cli(out, corpus, args.batch, epochs, seed=42,
-                     sigterm_after_epochs=args.preempt_epoch,
-                     log_name="phase1", u8_pipe=args.u8_pipe)
-        with open(phase1_log) as f:
-            ok = "preemption checkpoint saved @ step" in f.read()
-        assert p1["rc"] == 0 and ok, f"drill failed: rc={p1['rc']}"
+        done1 = {r["epoch"] for r in read_jsonl(out)}
+        resume1 = (ckpt_dir if os.path.isdir(ckpt_dir) and any(
+            d.isdigit() for d in os.listdir(ckpt_dir)) else "")
+        for seg in range(20):
+            name = "phase1" if seg == 0 and not os.path.exists(
+                os.path.join(out, "phase1.log")) else f"phase1_r{seg}"
+            while os.path.exists(os.path.join(out, f"{name}.log")):
+                seg += 1
+                name = f"phase1_r{seg}"
+            p1 = run_cli(out, corpus, args.batch, epochs, seed=42,
+                         resume=resume1,
+                         sigterm_after_epochs=max(
+                             0, args.preempt_epoch - len(done1)),
+                         log_name=name, rss_limit_gb=args.rss_limit_gb,
+                         u8_pipe=args.u8_pipe)
+            assert p1["rc"] == 0, f"phase 1 failed: rc={p1['rc']}"
+            done1.update(e for e, _ in p1["s_it"])
+            if drill_recorded():
+                break
+            print("  [phase1] RSS watchdog checkpoint-exit before the "
+                  "drill; resuming", flush=True)
+            resume1 = ckpt_dir
+        else:
+            raise RuntimeError("phase 1: drill never delivered")
 
     # phase 2: resume to completion (auto-resuming across RSS-watchdog
     # checkpoint-exits)

@@ -56,7 +56,26 @@ def harvest(work: str, steps: int, batch: int, steps_per_epoch: int,
             out: str, hbm_static: float = None) -> dict:
     run = os.path.join(work, "run")
     ref = os.path.join(work, "ref")
-    p1, preempt_step = parse_phase(os.path.join(run, "phase1.log"))
+    # phase 1 may span RSS-watchdog resume segments (tools/burnin.py,
+    # round 5): merge phase1*.log and take the drill step — preferring a
+    # "[signal]"-suffixed line (the actual SIGTERM drill) over a generic
+    # preemption line (an RSS-watchdog exit also prints one)
+    import glob as _glob
+
+    sig_re = re.compile(
+        r"preemption checkpoint saved @ step (\d+) .*\[signal\]")
+    p1, preempt_step, sig_step = [], None, None
+    for pth in sorted(_glob.glob(os.path.join(run, "phase1*.log"))):
+        s, pe = parse_phase(pth)
+        p1 += s
+        if preempt_step is None:
+            preempt_step = pe
+        if sig_step is None:
+            with open(pth) as f:
+                m = sig_re.search(f.read())
+            if m:
+                sig_step = int(m.group(1))
+    preempt_step = sig_step if sig_step is not None else preempt_step
     p2, n2 = parse_phase_segments(run, "phase2")
     _, n3 = parse_phase_segments(ref, "phase3")
     result = {"batch": batch, "steps_target": steps,
